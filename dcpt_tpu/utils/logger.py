@@ -1,0 +1,146 @@
+"""Logging: rank-aware root logger, per-iter training message formatter, timers.
+
+Reference semantics: ``basicsr/utils/logger.py``.  Rank != 0 processes log at ERROR
+only (logger.py:184-186); ``MessageLogger`` prints epoch/iter/lr/ETA/time/losses
+(logger.py:44-116); TensorBoard is optional (gated on import).
+"""
+
+from __future__ import annotations
+
+import datetime
+import logging
+import time
+
+initialized_logger: dict[str, bool] = {}
+
+
+class AvgTimer:
+    """Windowed average timer (reference: logger.py:10-41)."""
+
+    def __init__(self, window: int = 200):
+        self.window = window
+        self.current_time = 0.0
+        self.total_time = 0.0
+        self.count = 0
+        self.avg_time = 0.0
+        self.start()
+
+    def start(self) -> None:
+        self.start_time = self.tic = time.time()
+
+    def record(self) -> None:
+        self.count += 1
+        self.toc = time.time()
+        self.current_time = self.toc - self.tic
+        self.total_time += self.current_time
+        self.avg_time = self.total_time / self.count
+        if self.count > self.window:
+            self.count = 0
+            self.total_time = 0
+        self.tic = time.time()
+
+    def get_current_time(self) -> float:
+        return self.current_time
+
+    def get_avg_time(self) -> float:
+        return self.avg_time
+
+
+class MessageLogger:
+    """Format + emit per-iteration training logs with ETA (reference: logger.py:44-116)."""
+
+    def __init__(self, opt: dict, start_iter: int = 1, tb_logger=None):
+        self.exp_name = opt["name"]
+        self.interval = opt["logger"]["print_freq"]
+        self.start_iter = start_iter
+        self.max_iters = opt["train"]["total_iter"]
+        self.use_tb_logger = opt["logger"].get("use_tb_logger", False)
+        self.tb_logger = tb_logger
+        self.start_time = time.time()
+        self.logger = get_root_logger()
+
+    def reset_start_time(self) -> None:
+        self.start_time = time.time()
+
+    def __call__(self, log_vars: dict) -> None:
+        current_iter = log_vars.pop("iter")
+        epoch = log_vars.pop("epoch")
+        lrs = log_vars.pop("lrs")
+
+        message = f"[{self.exp_name[:5]}..][epoch:{epoch:3d}, iter:{current_iter:8,d}, lr:("
+        for v in lrs:
+            message += f"{v:.3e},"
+        message += ")] "
+
+        if "time" in log_vars.keys():
+            iter_time = log_vars.pop("time")
+            data_time = log_vars.pop("data_time")
+            total_time = time.time() - self.start_time
+            time_sec_avg = total_time / (current_iter - self.start_iter + 1)
+            eta_sec = time_sec_avg * (self.max_iters - current_iter - 1)
+            eta_str = str(datetime.timedelta(seconds=int(eta_sec)))
+            message += f"[eta: {eta_str}, "
+            message += f"time (data): {iter_time:.3f} ({data_time:.3f})] "
+
+        for k, v in log_vars.items():
+            message += f"{k}: {v:.4e} "
+            if self.tb_logger is not None and "debug" not in self.exp_name:
+                label = f"losses/{k}" if k.startswith("l_") else k
+                self.tb_logger.add_scalar(label, v, current_iter)
+        self.logger.info(message)
+
+
+def init_tb_logger(log_dir: str):
+    """TensorBoard writer, or None when tensorboard is unavailable."""
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+    except ImportError:
+        get_root_logger().warning("tensorboard unavailable; TB logging disabled.")
+        return None
+    return SummaryWriter(log_dir=log_dir)
+
+
+def get_root_logger(logger_name: str = "dcpt_tpu", log_level: int = logging.INFO, log_file: str | None = None):
+    """Rank-aware root logger (reference: logger.py:156-195)."""
+    logger = logging.getLogger(logger_name)
+    if logger_name in initialized_logger:
+        return logger
+
+    format_str = "%(asctime)s %(levelname)s: %(message)s"
+    stream_handler = logging.StreamHandler()
+    stream_handler.setFormatter(logging.Formatter(format_str))
+    logger.addHandler(stream_handler)
+    logger.propagate = False
+
+    from .options import get_dist_info
+
+    rank, _ = get_dist_info()
+    if rank != 0:
+        logger.setLevel("ERROR")
+    elif log_file is not None:
+        logger.setLevel(log_level)
+        file_handler = logging.FileHandler(log_file, "w")
+        file_handler.setFormatter(logging.Formatter(format_str))
+        file_handler.setLevel(log_level)
+        logger.addHandler(file_handler)
+    else:
+        logger.setLevel(log_level)
+    initialized_logger[logger_name] = True
+    return logger
+
+
+def get_env_info() -> str:
+    """Environment banner (reference: logger.py:198-211) — JAX/TPU edition."""
+    import jax
+
+    msg = "\nVersion Information: "
+    msg += f"\n\tJAX: {jax.__version__}"
+    try:
+        import flax
+
+        msg += f"\n\tFlax: {flax.__version__}"
+    except ImportError:
+        pass
+    msg += f"\n\tBackend: {jax.default_backend()}"
+    msg += f"\n\tDevices: {[str(d) for d in jax.devices()]}"
+    return msg
