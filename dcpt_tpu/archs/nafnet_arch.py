@@ -1,0 +1,185 @@
+"""NAFNet — Nonlinear Activation Free network for image restoration, TPU-native.
+
+Numerically matches the reference (``basicsr/archs/nafnet_arch.py:83-288``) in
+NHWC: NAFBlock = LN → 1×1 expand → 3×3 depthwise → SimpleGate → simplified
+channel attention → 1×1, plus a gated FFN branch, with learnable residual
+scales β, γ.  The U-Net body mirrors the reference's module names (``encoders``,
+``downs``, ``middle_blks``, ``ups``, ``decoder{i}``) so torch checkpoints map
+1:1 (see ``dcpt_tpu/convert/torch_checkpoint.py``).
+
+Differences by design (TPU-first):
+* NHWC layout; channel ops act on the last axis.
+* No forward hooks: ``__call__`` returns ``(out, taps)`` where ``taps`` is a
+  dict keyed by the reference's top-level module names (``encoders.0`` …), so
+  the DCPT hook-selection semantics (name filter + ``count('.')==1``,
+  reference ``…pretrain_model.py:64-68``) are reproduced by dict-key filtering.
+* TLSC (the ``NAFNet`` local variant, reference nafnet_arch.py:278-288 +
+  arch_util.py:313-455) is a static config flag switching the SCA pooling to a
+  cumsum integral-image local mean — no module mutation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..utils.registry import ARCH_REGISTRY
+from .arch_util import LayerNorm2d, conv2d, local_avg_pool, pixel_shuffle, tlsc_kernel_size
+
+
+def simple_gate(x: jax.Array) -> jax.Array:
+    """Channel-halving gate: x1 * x2 (reference: nafnet_arch.py:77-80)."""
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return x1 * x2
+
+
+class NAFBlock(nn.Module):
+    c: int
+    dw_expand: int = 2
+    ffn_expand: int = 2
+    drop_out_rate: float = 0.0
+    # TLSC: when local_stats is true, SCA's global mean becomes a local window mean
+    local_stats: bool = False
+    base_size: tuple[int, int] | None = None
+    train_size: tuple[int, int] | None = None
+
+    @nn.compact
+    def __call__(self, inp: jax.Array, deterministic: bool = True) -> jax.Array:
+        c = self.c
+        dw = c * self.dw_expand
+        ffn = c * self.ffn_expand
+
+        x = LayerNorm2d(c, name="norm1")(inp)
+        x = conv2d(dw, 1, name="conv1", in_features=c)(x)
+        x = conv2d(dw, 3, groups=dw, name="conv2", in_features=dw)(x)
+        x = simple_gate(x)
+
+        # Simplified Channel Attention: pooled stats → 1×1 conv → scale
+        if self.local_stats:
+            k = tlsc_kernel_size(x.shape, self.base_size, self.train_size)
+            pooled = local_avg_pool(x, k)
+        else:
+            pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+        att = conv2d(dw // 2, 1, name="sca_1", in_features=dw // 2)(pooled)
+        x = x * att
+
+        x = conv2d(c, 1, name="conv3", in_features=dw // 2)(x)
+        if self.drop_out_rate > 0:
+            x = nn.Dropout(self.drop_out_rate, name="dropout1")(x, deterministic=deterministic)
+
+        beta = self.param("beta", nn.initializers.zeros, (1, 1, 1, c))
+        y = inp + x * beta
+
+        x = conv2d(ffn, 1, name="conv4", in_features=c)(LayerNorm2d(c, name="norm2")(y))
+        x = simple_gate(x)
+        x = conv2d(c, 1, name="conv5", in_features=ffn // 2)(x)
+        if self.drop_out_rate > 0:
+            x = nn.Dropout(self.drop_out_rate, name="dropout2")(x, deterministic=deterministic)
+
+        gamma = self.param("gamma", nn.initializers.zeros, (1, 1, 1, c))
+        return y + x * gamma
+
+
+@ARCH_REGISTRY.register()
+class NAFNetBaseline(nn.Module):
+    """U-Net of NAFBlocks (reference: nafnet_arch.py:190-274)."""
+
+    img_channel: int = 3
+    width: int = 16
+    middle_blk_num: int = 1
+    enc_blk_nums: Sequence[int] = ()
+    dec_blk_nums: Sequence[int] = ()
+    window_size: int = 8  # used by the eval harness for pad-to-multiple
+    drop_out_rate: float = 0.0
+    # TLSC config (NAFNet variant); inert for the baseline
+    local_stats: bool = False
+    train_size: tuple[int, int] = (128, 128)
+    tlsc_ratio: float = 1.5
+
+    def _block_cfg(self) -> dict[str, Any]:
+        base = (int(self.train_size[0] * self.tlsc_ratio), int(self.train_size[1] * self.tlsc_ratio))
+        return dict(
+            drop_out_rate=self.drop_out_rate,
+            local_stats=self.local_stats,
+            base_size=base if self.local_stats else None,
+            train_size=self.train_size if self.local_stats else None,
+        )
+
+    @nn.compact
+    def __call__(self, inp: jax.Array, skip_tail: bool = False, deterministic: bool = True):
+        """Returns ``(out, taps)``; ``out`` is None when ``skip_tail`` (the
+        reference's ``hook=True`` feature-only pass, nafnet_arch.py:250-274)."""
+        cfg = self._block_cfg()
+        taps: dict[str, jax.Array] = {}
+
+        x = conv2d(self.width, 3, name="intro", in_features=self.img_channel)(inp)
+
+        encs = []
+        chan = self.width
+        for i, num in enumerate(self.enc_blk_nums):
+            for j in range(num):
+                x = NAFBlock(chan, name=f"encoders_{i}_{j}", **cfg)(x, deterministic)
+            taps[f"encoders.{i}"] = x
+            encs.append(x)
+            x = conv2d(2 * chan, 2, stride=2, padding=0, name=f"downs_{i}", in_features=chan)(x)
+            taps[f"downs.{i}"] = x
+            chan *= 2
+
+        for j in range(self.middle_blk_num):
+            x = NAFBlock(chan, name=f"middle_blks_{j}", **cfg)(x, deterministic)
+        taps["middle_blks"] = x
+
+        for i, num in enumerate(self.dec_blk_nums):
+            x = conv2d(chan * 2, 1, bias=False, name=f"ups_{i}", in_features=chan)(x)
+            x = pixel_shuffle(x, 2)
+            taps[f"ups.{i}"] = x
+            chan //= 2
+            x = x + encs[-(i + 1)]
+            for j in range(num):
+                x = NAFBlock(chan, name=f"decoder_{i}_{j}", **cfg)(x, deterministic)
+            taps[f"decoder{i}"] = x
+
+        if skip_tail:
+            return None, taps
+
+        x = conv2d(self.img_channel, 3, name="ending", in_features=self.width)(x)
+        x = x + inp
+        return x, taps
+
+
+@ARCH_REGISTRY.register()
+class NAFNet(NAFNetBaseline):
+    """TLSC test-time variant (reference: nafnet_arch.py:278-288): identical
+    parameters, but SCA pooling uses local windows of 1.5× the train size."""
+
+    local_stats: bool = True
+
+
+# ---------------------------------------------------------------------------
+# torch-checkpoint key mapping (consumed by convert/torch_checkpoint.py)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_NAFNET_RENAMES = [
+    (_re.compile(r"^encoders\.(\d+)\.(\d+)\."), r"encoders_\1_\2."),
+    (_re.compile(r"^middle_blks\.(\d+)\."), r"middle_blks_\1."),
+    (_re.compile(r"^downs\.(\d+)\."), r"downs_\1."),
+    (_re.compile(r"^ups\.(\d+)\.0\."), r"ups_\1."),
+    (_re.compile(r"^decoder(\d+)\.(\d+)\."), r"decoder_\1_\2."),
+    (_re.compile(r"\.sca\.1\."), r".sca_1."),
+]
+
+
+def torch_key_map(key: str) -> str:
+    """Rename a reference NAFNet state-dict key into our flax module path."""
+    for pat, repl in _NAFNET_RENAMES:
+        key = pat.sub(repl, key)
+    return key
+
+
+NAFNetBaseline.torch_key_map = staticmethod(torch_key_map)
+NAFNet.torch_key_map = staticmethod(torch_key_map)

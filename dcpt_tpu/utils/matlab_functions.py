@@ -72,7 +72,7 @@ def imresize(img: np.ndarray, scale: float, antialiasing: bool = True) -> np.nda
     # resize along H: gather (out_h, p, w, c) then weight-sum over p
     out = np.einsum("op,opwc->owc", weights_h, img[indices_h, :, :])
     # resize along W
-    out = np.einsum("op,hopc->howc", weights_w, out[:, indices_w, :]).reshape(out_h, out_w, c)
+    out = np.einsum("op,hopc->hoc", weights_w, out[:, indices_w, :])
     if squeeze:
         out = out[:, :, 0]
     return out

