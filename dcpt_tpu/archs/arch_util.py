@@ -202,7 +202,11 @@ def resize_bilinear(x: jax.Array, out_hw: tuple[int, int], align_corners: bool =
         top = g(y0, x0) * (1 - wx) + g(y0, x1) * wx
         bot = g(y1, x0) * (1 - wx) + g(y1, x1) * wx
         return top * (1 - wy) + bot * wy
-    return jax.image.resize(x, (x.shape[0], out_hw[0], out_hw[1], x.shape[3]), method="bilinear")
+    # antialias=False matches torch F.interpolate(mode="bilinear"), which never
+    # low-pass filters on downscale
+    return jax.image.resize(
+        x, (x.shape[0], out_hw[0], out_hw[1], x.shape[3]), method="bilinear", antialias=False
+    )
 
 
 def trunc_normal_init(std: float = 0.02):

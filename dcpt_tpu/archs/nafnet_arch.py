@@ -111,7 +111,13 @@ class NAFNetBaseline(nn.Module):
     @nn.compact
     def __call__(self, inp: jax.Array, skip_tail: bool = False, deterministic: bool = True):
         """Returns ``(out, taps)``; ``out`` is None when ``skip_tail`` (the
-        reference's ``hook=True`` feature-only pass, nafnet_arch.py:250-274)."""
+        reference's ``hook=True`` feature-only pass, nafnet_arch.py:250-274).
+
+        ``taps`` keys are exactly the reference's module names with
+        ``name.count('.') == 1`` — the set the DCPT hook filter selects from
+        (``…pretrain_model.py:64-68``): ``encoders.{i}``, ``downs.{i}``,
+        ``middle_blks.{j}``, ``ups.{i}``, ``decoder{i}.{j}``.
+        """
         cfg = self._block_cfg()
         taps: dict[str, jax.Array] = {}
 
@@ -130,7 +136,7 @@ class NAFNetBaseline(nn.Module):
 
         for j in range(self.middle_blk_num):
             x = NAFBlock(chan, name=f"middle_blks_{j}", **cfg)(x, deterministic)
-        taps["middle_blks"] = x
+            taps[f"middle_blks.{j}"] = x
 
         for i, num in enumerate(self.dec_blk_nums):
             x = conv2d(chan * 2, 1, bias=False, name=f"ups_{i}", in_features=chan)(x)
@@ -140,7 +146,7 @@ class NAFNetBaseline(nn.Module):
             x = x + encs[-(i + 1)]
             for j in range(num):
                 x = NAFBlock(chan, name=f"decoder_{i}_{j}", **cfg)(x, deterministic)
-            taps[f"decoder{i}"] = x
+                taps[f"decoder{i}.{j}"] = x
 
         if skip_tail:
             return None, taps
