@@ -14,18 +14,22 @@ import cv2
 import numpy as np
 
 
-def imfrombytes(content: bytes, flag: str = "color", float32: bool = False) -> np.ndarray:
+def imfrombytes(content: bytes, flag: str = "color", depth: int = 8, float32: bool = False) -> np.ndarray:
     """Decode an image byte buffer (reference: img_util.py:126-153).
 
-    ``flag``: color | grayscale | unchanged (unchanged keeps alpha / 16-bit depth).
+    ``flag``: color | grayscale | unchanged; grayscale gains a channel axis.
+    ``depth``: 8 or 16 — byte-buffer dtype for decode.
     """
-    img_np = np.frombuffer(content, np.uint8)
+    dtype = np.uint16 if depth == 16 else np.uint8
+    img_np = np.frombuffer(content, dtype)
     imread_flags = {
         "color": cv2.IMREAD_COLOR,
         "grayscale": cv2.IMREAD_GRAYSCALE,
         "unchanged": cv2.IMREAD_UNCHANGED,
     }
     img = cv2.imdecode(img_np, imread_flags[flag])
+    if flag == "grayscale":
+        img = img[..., np.newaxis]
     if float32:
         img = img.astype(np.float32) / 255.0
     return img
