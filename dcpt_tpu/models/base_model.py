@@ -1,0 +1,270 @@
+"""BaseModel — training/eval orchestration scaffolding, TPU-native.
+
+Functional re-design of the reference ``basicsr/models/base_model.py:17-457``:
+networks are flax modules with explicit param pytrees, optimizers are optax
+transforms (lr injected per step from host-side schedules, mirroring the
+reference's scheduler.step/warmup logic), EMA is a pytree lerp, checkpoints are
+flat-npz network snapshots + orbax training state.  Multi-device execution
+happens inside jitted steps over a ``jax.sharding.Mesh`` (see
+``dcpt_tpu/parallel``) instead of DDP wrapping.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import time
+from collections import OrderedDict
+from copy import deepcopy
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..utils.logger import get_root_logger
+from ..utils.tree_io import load_tree_npz, save_tree_npz
+from .lr_scheduler import build_schedule
+
+
+class BaseModel:
+    def __init__(self, opt: dict):
+        self.opt = opt
+        self.is_train = opt["is_train"]
+        self.schedulers: list = []
+        self.optimizers: list = []  # (name, optax transform) pairs
+        self.log_dict: dict = {}
+        self._current_lrs: list[float] = []
+
+    # ------------------------------------------------------------------
+    # Device & mesh
+    # ------------------------------------------------------------------
+
+    @property
+    def mesh(self):
+        from ..parallel import get_default_mesh
+
+        return get_default_mesh(self.opt)
+
+    def shard_batch(self, array):
+        """Place a host array onto the mesh, batch-sharded over 'data'."""
+        from ..parallel import shard_batch
+
+        return shard_batch(array, self.mesh)
+
+    # ------------------------------------------------------------------
+    # Optimizers / schedulers
+    # ------------------------------------------------------------------
+
+    def get_optimizer(self, optim_type: str, **kwargs):
+        """optax transform WITHOUT the lr scale — the step multiplies by the
+        host-scheduled lr (reference optimizer zoo: base_model.py:120-139)."""
+        kwargs = dict(kwargs)
+        kwargs.pop("lr", None)
+        betas = kwargs.pop("betas", None)
+        if betas is not None:
+            kwargs["b1"], kwargs["b2"] = betas
+        wd = kwargs.pop("weight_decay", 0.0)
+
+        if optim_type == "Adam":
+            tx = optax.scale_by_adam(**kwargs)
+            if wd:
+                tx = optax.chain(optax.add_decayed_weights(wd), tx)
+        elif optim_type == "AdamW":
+            tx = optax.chain(optax.scale_by_adam(**kwargs), optax.add_decayed_weights(wd if wd else 1e-2))
+        elif optim_type == "Adamax":
+            tx = optax.scale_by_adamax(**{k: v for k, v in kwargs.items() if k in ("b1", "b2", "eps")})
+        elif optim_type == "SGD":
+            momentum = kwargs.pop("momentum", 0.0)
+            tx = optax.trace(decay=momentum) if momentum else optax.identity()
+            if wd:
+                tx = optax.chain(optax.add_decayed_weights(wd), tx)
+        elif optim_type in ("ASGD",):
+            get_root_logger().warning("ASGD has no optax equivalent; using plain SGD semantics.")
+            tx = optax.identity()
+        elif optim_type == "RMSprop":
+            tx = optax.scale_by_rms(decay=kwargs.pop("alpha", 0.99), eps=kwargs.pop("eps", 1e-8))
+        elif optim_type == "Rprop":
+            tx = optax.scale_by_rprop(learning_rate=1.0)
+        else:
+            raise NotImplementedError(f"optimizer {optim_type} is not supported yet.")
+
+        grad_clip = self.opt.get("grad_clip", 0) or (self.opt.get("train", {}) or {}).get("grad_clip", 0)
+        if grad_clip:
+            tx = optax.chain(optax.clip_by_global_norm(float(grad_clip)), tx)
+        # final scale by -lr happens in the train step via optax.scale
+        return tx
+
+    def setup_schedulers(self) -> None:
+        """One schedule per optimizer (reference: base_model.py:141-160)."""
+        train_opt = self.opt["train"]
+        scheduler_opt = train_opt["scheduler"]
+        warmup = train_opt.get("warmup_iter", -1)
+        self.schedulers = []
+        for name, base_lr in self._optimizer_base_lrs:
+            self.schedulers.append(build_schedule(deepcopy(scheduler_opt), base_lr, warmup))
+        self._current_lrs = [s(0) for s in self.schedulers]
+
+    def update_learning_rate(self, current_iter: int, warmup_iter: int = -1) -> None:
+        """Host-side lr computation for this step (reference: base_model.py:223-244).
+
+        warmup is already folded into the schedules by setup_schedulers."""
+        self._current_lrs = [sched(current_iter) for sched in self.schedulers]
+
+    def get_current_learning_rate(self):
+        return list(self._current_lrs)
+
+    # ------------------------------------------------------------------
+    # EMA
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def ema_update(ema_params, params, decay: float):
+        """ema = ema*decay + params*(1-decay) (reference: base_model.py:86-95)."""
+        return jax.tree_util.tree_map(lambda e, p: e * decay + p * (1 - decay), ema_params, params)
+
+    # ------------------------------------------------------------------
+    # Validation bookkeeping
+    # ------------------------------------------------------------------
+
+    def validation(self, dataloader, current_iter, tb_logger, save_img=False, clamp=True):
+        """Dispatch dist/nondist (reference: base_model.py:40-56)."""
+        if self.opt.get("dist"):
+            self.dist_validation(dataloader, current_iter, tb_logger, save_img, clamp)
+        else:
+            self.nondist_validation(dataloader, current_iter, tb_logger, save_img, clamp)
+
+    def _initialize_best_metric_results(self, dataset_name: str) -> None:
+        """Track best metric values per dataset (reference: base_model.py:58-76)."""
+        if hasattr(self, "best_metric_results") and dataset_name in self.best_metric_results:
+            return
+        if not hasattr(self, "best_metric_results"):
+            self.best_metric_results = {}
+        record = {}
+        for metric, content in self.opt["val"]["metrics"].items():
+            better = content.get("better", "higher")
+            init_val = float("-inf") if better == "higher" else float("inf")
+            record[metric] = dict(better=better, val=init_val, iter=-1)
+        self.best_metric_results[dataset_name] = record
+
+    def _update_best_metric_result(self, dataset_name, metric, val, current_iter) -> None:
+        rec = self.best_metric_results[dataset_name][metric]
+        if (rec["better"] == "higher" and val >= rec["val"]) or (rec["better"] == "lower" and val <= rec["val"]):
+            rec["val"] = val
+            rec["iter"] = current_iter
+
+    def reduce_loss_dict(self, loss_dict: dict) -> OrderedDict:
+        """Loss logging (reference: base_model.py:432-457).  Values produced by
+        jitted steps are already device means; under multi-host we log local
+        values (each host sees identical data-parallel means after psum inside
+        the step when configured)."""
+        return OrderedDict((k, float(v)) for k, v in loss_dict.items())
+
+    # ------------------------------------------------------------------
+    # Checkpointing
+    # ------------------------------------------------------------------
+
+    def _is_master(self) -> bool:
+        return self.opt.get("rank", 0) == 0
+
+    def save_network(self, trees: dict[str, dict], net_label: str, current_iter) -> None:
+        """Save {param_key: tree} under models/net_<label>_<iter>.npz
+        (reference: base_model.py:249-298; retry ×3 like the reference)."""
+        if not self._is_master():
+            return
+        if current_iter == -1:
+            current_iter = "latest"
+        save_filename = f"{net_label}_{current_iter}.npz"
+        save_path = osp.join(self.opt["path"]["models"], save_filename)
+        trees = jax.tree_util.tree_map(np.asarray, trees)
+        for attempt in range(3):
+            try:
+                save_tree_npz(save_path, trees)
+                return
+            except Exception as e:  # noqa: BLE001
+                get_root_logger().warning(f"Save model error: {e}, remaining retry times: {2 - attempt}")
+                time.sleep(1)
+        raise IOError(f"Cannot save {save_path}.")
+
+    def load_network_params(self, net, load_path: str, strict: bool = True, param_key: str = "params", remove_norm: bool = False, init_params: dict | None = None) -> dict:
+        """Load a network snapshot: our .npz or a reference .pth
+        (reference: base_model.py:300-369 incl. params_ema→params fallback)."""
+        logger = get_root_logger()
+        if load_path.endswith(".pth"):
+            from ..convert.torch_checkpoint import load_network_params
+
+            loaded = load_network_params(net, load_path, param_key=param_key)["params"]
+        else:
+            trees = load_tree_npz(load_path)
+            if param_key not in trees:
+                if param_key == "params_ema" and "params" in trees:
+                    logger.info("Loading: params_ema does not exist, use params.")
+                    param_key = "params"
+                else:
+                    param_key = list(trees.keys())[0]
+            loaded = trees[param_key]
+        logger.info(f"Loading model from {load_path}, with param key: [{param_key}].")
+
+        if remove_norm:
+            def _strip(tree):
+                return {k: (_strip(v) if isinstance(v, dict) else v) for k, v in tree.items() if "norm" not in k}
+
+            loaded = _strip(loaded)
+
+        if init_params is not None:
+            from ..convert.torch_checkpoint import verify_params_match
+
+            problems = verify_params_match(loaded, init_params)
+            if problems and strict:
+                raise KeyError("checkpoint/network mismatch:\n  " + "\n  ".join(problems))
+            for p in problems:
+                logger.warning(f"checkpoint mismatch (non-strict): {p}")
+            if problems:
+                # non-strict: graft loaded values onto init where paths+shapes agree
+                def merge(init, ld):
+                    out = {}
+                    for k, v in init.items():
+                        lv = ld.get(k) if isinstance(ld, dict) else None
+                        if isinstance(v, dict):
+                            out[k] = merge(v, lv if isinstance(lv, dict) else {})
+                        elif lv is not None and np.shape(lv) == np.shape(v):
+                            out[k] = lv
+                        else:
+                            out[k] = v
+                    return out
+
+                loaded = merge(init_params, loaded)
+        return jax.tree_util.tree_map(jnp.asarray, loaded)
+
+    def save_training_state(self, epoch: int, current_iter: int, state: dict) -> None:
+        """Orbax save of {epoch, iter, opt_states…} (reference: base_model.py:371-411)."""
+        if current_iter == -1 or not self._is_master():
+            return
+        import orbax.checkpoint as ocp
+
+        state = dict(state, epoch=epoch, iter=current_iter)
+        path = osp.join(self.opt["path"]["training_states"], f"{current_iter}.state")
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(os.path.abspath(path), state, force=True)
+
+    def resume_training_state(self, state_path: str) -> dict:
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            return ckptr.restore(os.path.abspath(state_path))
+
+    # ------------------------------------------------------------------
+    # Introspection
+    # ------------------------------------------------------------------
+
+    def print_network(self, net, params=None) -> None:
+        """Param count + module table (the torchinfo analog, base_model.py:170-204)."""
+        if not self._is_master():
+            return
+        logger = get_root_logger()
+        if params is not None:
+            n_params = sum(int(np.prod(np.shape(x))) for x in jax.tree_util.tree_leaves(params))
+            logger.info(f"Network: {net.__class__.__name__}, with parameters: {n_params:,d}")
+        else:
+            logger.info(f"Network: {net.__class__.__name__}")

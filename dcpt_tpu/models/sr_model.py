@@ -1,0 +1,454 @@
+"""SRModel — restoration train/eval orchestration, TPU-native.
+
+Functional port of the reference ``basicsr/models/sr_model.py:27-588``:
+
+* ``optimize_parameters`` is ONE jitted train step (forward → pixel/LDL loss →
+  grads → clip → optax update → EMA lerp), batch-sharded over the mesh;
+* ``test`` uses the EMA params when present (sr_model.py:176-185);
+* ``pre_test``/``post_test`` reflect-pad H, W to the arch's window-size
+  multiple and crop back (sr_model.py:234-271) — this also bounds XLA
+  recompiles to one shape-bucket per padded size;
+* ``test_tile`` is the overlap-pad halo tiler (sr_model.py:273-361);
+* ``test_selfensemble`` averages the 8 dihedral augments via jnp flips/
+  transposes on device — no host round-trips (sr_model.py:187-232);
+* ``nondist_validation`` computes the reference metric protocol on host numpy
+  with [0,1] clamp (sr_model.py:375-499);
+* ``nondist_profile`` reports wall-clock / device memory / XLA-cost FLOPs
+  (sr_model.py:520-568 → jax.profiler + cost analysis).
+"""
+
+from __future__ import annotations
+
+import math
+import os.path as osp
+import time
+from collections import OrderedDict
+from functools import partial
+
+import cv2
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..archs import build_network
+from ..losses import build_loss, get_refined_artifact_map
+from ..metrics import calculate_metric
+from ..utils.img_util import imwrite
+from ..utils.logger import get_root_logger
+from ..utils.registry import MODEL_REGISTRY
+from .base_model import BaseModel
+
+
+def _net_in_channels(net_opt: dict) -> int:
+    for key in ("img_channel", "inp_channels", "in_chans", "num_in_ch"):
+        if key in net_opt:
+            return net_opt[key]
+    return 3
+
+
+def check_window_size(window_size):
+    """Tuple/list window sizes collapse to their max (sr_model.py:234-242)."""
+    if isinstance(window_size, (tuple, list)):
+        return max(window_size)
+    return window_size
+
+
+@MODEL_REGISTRY.register()
+class SRModel(BaseModel):
+    def __init__(self, opt: dict):
+        super().__init__(opt)
+        self.scale = opt.get("scale", 1)
+        self.net_g = build_network(opt["network_g"])
+        self.rng = jax.random.PRNGKey(opt.get("manual_seed", 0) or 0)
+
+        in_ch = _net_in_channels(opt["network_g"])
+        h = opt["network_g"].get("h", 64)
+        self.rng, init_key = jax.random.split(self.rng)
+        variables = self.net_g.init(init_key, jnp.zeros((1, h, h, in_ch)))
+        self.params_g = variables["params"]
+        self.print_network(self.net_g, self.params_g)
+
+        load_path = self.opt["path"].get("pretrain_network_g")
+        if load_path is not None:
+            param_key = self.opt["path"].get("param_key_g", "params")
+            self.params_g = self.load_network_params(
+                self.net_g,
+                load_path,
+                self.opt["path"].get("strict_load_g", True),
+                param_key,
+                self.opt.get("remove_norm", False),
+                init_params=self.params_g,
+            )
+
+        from ..parallel import replicate
+
+        self.params_g = replicate(self.params_g, self.mesh)
+        self.params_g_ema = None
+
+        self._apply_cache: dict = {}
+        if self.is_train:
+            self.init_training_settings()
+
+    # ------------------------------------------------------------------
+    # Training setup
+    # ------------------------------------------------------------------
+
+    def init_training_settings(self) -> None:
+        train_opt = self.opt["train"]
+        self.ema_decay = train_opt.get("ema_decay", 0)
+        if self.ema_decay > 0:
+            get_root_logger().info(f"Use Exponential Moving Average with decay: {self.ema_decay}")
+            load_path = self.opt["path"].get("pretrain_network_g")
+            if load_path is not None:
+                self.params_g_ema = self.load_network_params(
+                    self.net_g, load_path, self.opt["path"].get("strict_load_g", True), "params_ema",
+                    init_params=None,
+                )
+            else:
+                self.params_g_ema = jax.tree_util.tree_map(jnp.copy, self.params_g)
+
+        self.cri_pix = build_loss(train_opt["pixel_opt"]) if train_opt.get("pixel_opt") else None
+        self.cri_ldl = build_loss(train_opt["ldl_opt"]) if train_opt.get("ldl_opt") else None
+        if train_opt.get("perceptual_opt"):
+            get_root_logger().warning("perceptual_opt configured but PerceptualLoss is not shipped (matches reference).")
+        self.cri_perceptual = None
+        if self.cri_pix is None and self.cri_ldl is None:
+            raise ValueError("Both pixel and perceptual losses are None.")
+
+        self.setup_optimizers()
+        self.setup_schedulers()
+        self._train_step = self._make_train_step()
+
+    def setup_optimizers(self) -> None:
+        train_opt = self.opt["train"]
+        optim_opt = dict(train_opt["optim_g"])
+        optim_type = optim_opt.pop("type")
+        self._optimizer_base_lrs = [("optim_g", optim_opt["lr"])]
+        self.optimizer_g = self.get_optimizer(optim_type, **optim_opt)
+        self.opt_state_g = self.optimizer_g.init(self.params_g)
+        self.optimizers = [("optim_g", self.optimizer_g)]
+
+    def _make_train_step(self):
+        net = self.net_g
+        cri_pix, cri_ldl = self.cri_pix, self.cri_ldl
+        ldl_std = (self.opt.get("train") or {}).get("ldl_std", False)
+        tx = self.optimizer_g
+        ema_decay = self.ema_decay
+
+        @jax.jit
+        def step(params, ema, opt_state, lq, gt, lr):
+            def loss_fn(p):
+                out, _ = net.apply({"params": p}, lq, deterministic=False)
+                losses = {}
+                total = 0.0
+                if cri_pix is not None:
+                    l_pix = cri_pix(out, gt)
+                    total += l_pix
+                    losses["l_pix"] = l_pix
+                if cri_ldl is not None:
+                    pixel_weight = get_refined_artifact_map(gt, out, std=ldl_std)
+                    l_ldl = jnp.mean(pixel_weight * cri_ldl(out, gt))
+                    total += l_ldl
+                    losses["l_ldl"] = l_ldl
+                return total, losses
+
+            (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+            new_params = optax.apply_updates(params, updates)
+            new_ema = (
+                jax.tree_util.tree_map(lambda e, p: e * ema_decay + p * (1 - ema_decay), ema, new_params)
+                if ema is not None
+                else None
+            )
+            losses["l_total"] = total
+            return new_params, new_ema, new_opt_state, losses
+
+        return step
+
+    # ------------------------------------------------------------------
+    # Data & step
+    # ------------------------------------------------------------------
+
+    def feed_data(self, data: dict) -> None:
+        self.lq = jnp.asarray(data["lq"]) if not isinstance(data["lq"], jax.Array) else data["lq"]
+        self.gt = None
+        if "gt" in data:
+            self.gt = jnp.asarray(data["gt"]) if not isinstance(data["gt"], jax.Array) else data["gt"]
+
+    def optimize_parameters(self, current_iter: int) -> None:
+        lr = jnp.float32(self._current_lrs[0])
+        self.params_g, self.params_g_ema, self.opt_state_g, losses = self._train_step(
+            self.params_g, self.params_g_ema, self.opt_state_g, self.lq, self.gt, lr
+        )
+        self.log_dict = self.reduce_loss_dict(losses)
+
+    # ------------------------------------------------------------------
+    # Inference paths
+    # ------------------------------------------------------------------
+
+    def _infer_params(self):
+        return self.params_g_ema if self.params_g_ema is not None else self.params_g
+
+    def _apply(self, params, x):
+        """jit-cached forward returning only the restored image."""
+        if "fwd" not in self._apply_cache:
+            net = self.net_g
+
+            @jax.jit
+            def fwd(p, x):
+                out, _ = net.apply({"params": p}, x)
+                return out
+
+            self._apply_cache["fwd"] = fwd
+        return self._apply_cache["fwd"](params, x)
+
+    def pre_test(self) -> None:
+        """Reflect-pad H, W to window-size multiples (sr_model.py:244-260)."""
+        self.mod_pad_h, self.mod_pad_w = 0, 0
+        if "window_size" not in self.opt["network_g"]:
+            return
+        window_size = check_window_size(self.opt["network_g"]["window_size"])
+        _, h, w, _ = self.lq.shape
+        if h % window_size != 0:
+            self.mod_pad_h = window_size - h % window_size
+        if w % window_size != 0:
+            self.mod_pad_w = window_size - w % window_size
+        if self.mod_pad_h or self.mod_pad_w:
+            self.lq = jnp.pad(self.lq, ((0, 0), (0, self.mod_pad_h), (0, self.mod_pad_w), (0, 0)), mode="reflect")
+
+    def post_test(self) -> None:
+        if "window_size" not in self.opt["network_g"]:
+            return
+        _, h, w, _ = self.output.shape
+        self.output = self.output[:, : h - self.mod_pad_h * self.scale, : w - self.mod_pad_w * self.scale, :]
+
+    def test(self) -> None:
+        self.output = self._apply(self._infer_params(), self.lq)
+
+    def test_selfensemble(self) -> None:
+        """×8 dihedral test-time ensemble, fully on device (sr_model.py:187-232)."""
+        params = self._infer_params()
+
+        def fwd_t(x, transposed):
+            out = self._apply(params, x)
+            return out.transpose(0, 2, 1, 3) if transposed else out
+
+        outs = []
+        for t in (False, True):
+            base = self.lq.transpose(0, 2, 1, 3) if t else self.lq
+            for fh in (False, True):
+                for fv in (False, True):
+                    x = base
+                    if fh:
+                        x = jnp.flip(x, axis=2)
+                    if fv:
+                        x = jnp.flip(x, axis=1)
+                    y = self._apply(params, x)
+                    if fv:
+                        y = jnp.flip(y, axis=1)
+                    if fh:
+                        y = jnp.flip(y, axis=2)
+                    if t:
+                        y = y.transpose(0, 2, 1, 3)
+                    outs.append(y)
+        self.output = jnp.mean(jnp.stack(outs, axis=0), axis=0)
+
+    def test_tile(self) -> None:
+        """Halo-padded tiling for large inputs (sr_model.py:273-361)."""
+        batch, height, width, channel = self.lq.shape
+        infer_size = self.opt["tile"]["infer_size"]
+        tile_pad = self.opt["tile"]["tile_pad"]
+        scale = self.scale
+        output = np.zeros((batch, height * scale, width * scale, channel), dtype=np.float32)
+        params = self._infer_params()
+
+        tiles_x = math.ceil(width / infer_size)
+        tiles_y = math.ceil(height / infer_size)
+        for y in range(tiles_y):
+            for x in range(tiles_x):
+                in_sx, in_ex = x * infer_size, min((x + 1) * infer_size, width)
+                in_sy, in_ey = y * infer_size, min((y + 1) * infer_size, height)
+                pad_sx, pad_ex = max(in_sx - tile_pad, 0), min(in_ex + tile_pad, width)
+                pad_sy, pad_ey = max(in_sy - tile_pad, 0), min(in_ey + tile_pad, height)
+
+                input_tile = self.lq[:, pad_sy:pad_ey, pad_sx:pad_ex, :]
+                output_tile = np.asarray(self._apply(params, input_tile))
+
+                osx, osy = in_sx * scale, in_sy * scale
+                tsx, tsy = (in_sx - pad_sx) * scale, (in_sy - pad_sy) * scale
+                tex = tsx + (in_ex - in_sx) * scale
+                tey = tsy + (in_ey - in_sy) * scale
+                output[:, osy : in_ey * scale, osx : in_ex * scale, :] = output_tile[:, tsy:tey, tsx:tex, :]
+        self.output = jnp.asarray(output)
+
+    def get_current_visuals(self) -> OrderedDict:
+        out = OrderedDict()
+        out["lq"] = np.asarray(self.lq)
+        out["result"] = np.asarray(self.output, dtype=np.float32)
+        if self.gt is not None:
+            out["gt"] = np.asarray(self.gt)
+        return out
+
+    def get_current_log(self):
+        return self.log_dict
+
+    # ------------------------------------------------------------------
+    # Validation / profiling
+    # ------------------------------------------------------------------
+
+    def dist_validation(self, dataloader, current_iter, tb_logger, save_img, clamp=True):
+        if self.opt.get("rank", 0) == 0:
+            self.nondist_validation(dataloader, current_iter, tb_logger, save_img, clamp)
+
+    def nondist_validation(self, dataloader, current_iter, tb_logger, save_img, clamp=True):
+        dataset_name = dataloader.dataset.opt["name"]
+        with_metrics = self.opt["val"].get("metrics") is not None
+        if with_metrics:
+            if not hasattr(self, "metric_results"):
+                self.metric_results = {metric: 0 for metric in self.opt["val"]["metrics"].keys()}
+            self._initialize_best_metric_results(dataset_name)
+            self.metric_results = {metric: 0 for metric in self.metric_results}
+
+        idx = -1
+        for idx, val_data in enumerate(dataloader):
+            self.feed_data(val_data)
+            self.pre_test()
+            if "tile" in self.opt:
+                self.test_tile()
+            elif self.opt.get("ensemble"):
+                self.test_selfensemble()
+            else:
+                self.test()
+            self.post_test()
+
+            visuals = self.get_current_visuals()
+            result = visuals["result"]
+            gt = visuals.get("gt")
+            if clamp:
+                result = np.clip(result, 0, 1)
+                if gt is not None:
+                    gt = np.clip(gt, 0, 1)
+            del self.lq, self.output
+            self.gt = None
+
+            if with_metrics:
+                for name, opt_ in self.opt["val"]["metrics"].items():
+                    self.metric_results[name] += calculate_metric(
+                        {"img": result, "img2": gt}, dict(opt_, input_order="BHWC")
+                    )
+                if not clamp:
+                    result = np.nan_to_num(result)
+                    self.metric_results["mae"] = 255 * np.abs(np.mean(result.clip(0, 1) - gt))
+
+            if save_img:
+                for i, img_path in enumerate(val_data["lq_path"]):
+                    depth = self.opt.get("depth", 8)
+                    if depth == 16:
+                        sr_img = (result[i] * 65535.0).round().astype(np.uint16)
+                    else:
+                        sr_img = (result[i] * 255.0).round().astype(np.uint8)
+                    if sr_img.shape[-1] == 3:
+                        sr_img = cv2.cvtColor(sr_img, cv2.COLOR_RGB2BGR)
+                    elif sr_img.shape[-1] == 1:
+                        sr_img = sr_img[..., 0]
+                    img_name = osp.splitext(osp.basename(img_path))[0]
+                    if self.opt["is_train"]:
+                        save_img_path = osp.join(
+                            self.opt["path"]["visualization"], img_name, f"{img_name}_{current_iter}.png"
+                        )
+                    elif self.opt["val"].get("suffix"):
+                        save_img_path = osp.join(
+                            self.opt["path"]["visualization"], dataset_name, f'{img_name}_{self.opt["val"]["suffix"]}.png'
+                        )
+                    else:
+                        save_img_path = osp.join(
+                            self.opt["path"]["visualization"], dataset_name, f'{img_name}_{self.opt["name"]}.png'
+                        )
+                    imwrite(sr_img, save_img_path)
+
+        if with_metrics and idx >= 0:
+            for metric in self.metric_results.keys():
+                self.metric_results[metric] /= idx + 1
+                if clamp:
+                    self._update_best_metric_result(dataset_name, metric, self.metric_results[metric], current_iter)
+            if clamp:
+                self._log_validation_metric_values(current_iter, dataset_name, tb_logger)
+
+    def _log_validation_metric_values(self, current_iter, dataset_name, tb_logger):
+        log_str = f"Validation {dataset_name}\n"
+        for metric, value in self.metric_results.items():
+            log_str += f"\t # {metric}: {value:.4f}"
+            if hasattr(self, "best_metric_results"):
+                rec = self.best_metric_results[dataset_name][metric]
+                log_str += f'\tBest: {rec["val"]:.4f} @ {rec["iter"]} iter'
+            log_str += "\n"
+        get_root_logger().info(log_str)
+        if tb_logger:
+            for metric, value in self.metric_results.items():
+                tb_logger.add_scalar(f"metrics/{dataset_name}/{metric}", value, current_iter)
+
+    def dist_profile(self, dataloader):
+        if self.opt.get("rank", 0) == 0:
+            self.nondist_profile(dataloader)
+
+    def nondist_profile(self, dataloader, flops: bool = True):
+        """Latency / memory / FLOPs report (reference: sr_model.py:520-568)."""
+        logger = get_root_logger()
+        timings, mpix = [], []
+        flops_reported = False
+        for idx, val_data in enumerate(dataloader):
+            self.feed_data(val_data)
+            self.pre_test()
+
+            if flops and not flops_reported:
+                try:
+                    net = self.net_g
+                    lowered = jax.jit(lambda p, x: net.apply({"params": p}, x)[0]).lower(self._infer_params(), self.lq)
+                    cost = lowered.compile().cost_analysis()
+                    if cost and "flops" in cost:
+                        logger.info(f"XLA cost analysis: {cost['flops'] / 1e9:.2f} GFLOPs @ input {self.lq.shape}")
+                except Exception as e:  # noqa: BLE001
+                    logger.warning(f"cost analysis unavailable: {e}")
+                flops_reported = True
+
+            # warm-up compile for this shape
+            self.test()
+            jax.block_until_ready(self.output)
+            t0 = time.perf_counter()
+            self.test()
+            jax.block_until_ready(self.output)
+            dt = time.perf_counter() - t0
+            timings.append(dt * 1000)
+            mpix.append(self.lq.shape[1] * self.lq.shape[2] * self.lq.shape[0] / 1e6 / dt)
+            self.post_test()
+
+        logger.info(f"The average test time is {np.mean(timings):.2f} ms.")
+        logger.info(f"Throughput: {np.mean(mpix):.2f} Megapixels/sec/chip.")
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            if stats:
+                logger.info(f"Device peak memory: {stats.get('peak_bytes_in_use', 0) / 1024**2:.1f} MiB")
+        except Exception:  # noqa: BLE001
+            pass
+        return {"ms": float(np.mean(timings)), "mpix_per_s": float(np.mean(mpix))}
+
+    # ------------------------------------------------------------------
+    # Save / resume
+    # ------------------------------------------------------------------
+
+    def save(self, epoch: int, current_iter: int) -> None:
+        trees = {"params": self.params_g}
+        if self.params_g_ema is not None:
+            trees["params_ema"] = self.params_g_ema
+        self.save_network(trees, "net_g", current_iter)
+        self.save_training_state(epoch, current_iter, {"opt_state_g": self.opt_state_g})
+
+    def resume_training(self, resume_state: dict) -> None:
+        if "opt_state_g" in resume_state:
+            restored = resume_state["opt_state_g"]
+            self.opt_state_g = jax.tree_util.tree_map(
+                lambda ref, new: jnp.asarray(new, dtype=jnp.asarray(ref).dtype), self.opt_state_g, restored
+            )

@@ -1,0 +1,192 @@
+"""SRModel end-to-end: training step, EMA, eval paths, save/load, test_pipeline."""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+def _make_images(root, n=3, size=(40, 56)):
+    gt_dir = os.path.join(root, "gt")
+    lq_dir = os.path.join(root, "lq")
+    os.makedirs(gt_dir, exist_ok=True)
+    os.makedirs(lq_dir, exist_ok=True)
+    rng = np.random.default_rng(7)
+    for i in range(n):
+        img = (rng.random((*size, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(gt_dir, f"i{i}.png"), img)
+        cv2.imwrite(os.path.join(lq_dir, f"i{i}.png"), cv2.GaussianBlur(img, (5, 5), 1.2))
+    return gt_dir, lq_dir
+
+
+def _train_opt(tmp_path, gt_dir, lq_dir):
+    return {
+        "name": "tiny_train",
+        "model_type": "SRModel",
+        "scale": 1,
+        "num_gpu": 1,
+        "manual_seed": 0,
+        "is_train": True,
+        "dist": False,
+        "rank": 0,
+        "world_size": 1,
+        "network_g": {
+            "type": "NAFNetBaseline",
+            "width": 8,
+            "enc_blk_nums": (1, 1),
+            "middle_blk_num": 1,
+            "dec_blk_nums": (1, 1),
+            "window_size": 4,
+            "h": 16,
+        },
+        "path": {
+            "models": str(tmp_path / "models"),
+            "training_states": str(tmp_path / "states"),
+            "visualization": str(tmp_path / "vis"),
+            "log": str(tmp_path),
+        },
+        "train": {
+            "ema_decay": 0.99,
+            "optim_g": {"type": "Adam", "lr": 1e-3, "betas": [0.9, 0.9]},
+            "scheduler": {"type": "CosineAnnealingRestartLR", "periods": [10], "restart_weights": [1], "eta_min": 1e-6},
+            "pixel_opt": {"type": "PSNRLoss", "loss_weight": 1.0, "reduction": "mean"},
+            "total_iter": 10,
+        },
+        "val": {"metrics": {"psnr": {"type": "calculate_psnr", "crop_border": 0, "image_range": 255.0}}},
+    }
+
+
+@pytest.fixture(scope="module")
+def train_model(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("srmodel")
+    gt_dir, lq_dir = _make_images(str(tmp_path))
+    from dcpt_tpu.models import build_model
+
+    opt = _train_opt(tmp_path, gt_dir, lq_dir)
+    model = build_model(opt)
+    return model, opt, gt_dir, lq_dir, tmp_path
+
+
+class TestSRModelTraining:
+    def test_train_step_decreases_loss(self, train_model, rng):
+        model, opt, *_ = train_model
+        lq = rng.random((2, 16, 16, 3)).astype(np.float32)
+        gt = np.clip(lq + 0.05, 0, 1).astype(np.float32)
+        losses = []
+        for it in range(1, 6):
+            model.update_learning_rate(it)
+            model.feed_data({"lq": lq, "gt": gt})
+            model.optimize_parameters(it)
+            losses.append(model.log_dict["l_total"])
+        assert losses[-1] < losses[0]
+
+    def test_ema_differs_from_params(self, train_model):
+        import jax
+
+        model, *_ = train_model
+        diff = jax.tree_util.tree_map(lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()), model.params_g, model.params_g_ema)
+        assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+    def test_lr_schedule_changes(self, train_model):
+        model, *_ = train_model
+        model.update_learning_rate(1)
+        lr1 = model.get_current_learning_rate()[0]
+        model.update_learning_rate(9)
+        lr9 = model.get_current_learning_rate()[0]
+        assert lr9 < lr1
+
+    def test_save_and_reload(self, train_model, tmp_path):
+        model, opt, *_ = train_model
+        model.save(epoch=0, current_iter=5)
+        path = os.path.join(opt["path"]["models"], "net_g_5.npz")
+        assert os.path.exists(path)
+        reloaded = model.load_network_params(model.net_g, path, True, "params", init_params=model.params_g)
+        flat_a = np.concatenate([np.ravel(x) for x in __import__("jax").tree_util.tree_leaves(model.params_g)])
+        flat_b = np.concatenate([np.ravel(np.asarray(x)) for x in __import__("jax").tree_util.tree_leaves(reloaded)])
+        np.testing.assert_allclose(flat_a, flat_b)
+
+
+class TestSRModelEval:
+    def test_pre_post_pad(self, train_model, rng):
+        model, *_ = train_model
+        model.feed_data({"lq": rng.random((1, 18, 22, 3)).astype(np.float32)})
+        model.pre_test()
+        assert model.lq.shape[1] % 4 == 0 and model.lq.shape[2] % 4 == 0
+        model.test()
+        model.post_test()
+        assert model.output.shape == (1, 18, 22, 3)
+
+    def test_selfensemble_shape(self, train_model, rng):
+        model, *_ = train_model
+        model.feed_data({"lq": rng.random((1, 16, 16, 3)).astype(np.float32)})
+        model.test_selfensemble()
+        assert model.output.shape == (1, 16, 16, 3)
+
+    def test_tile_matches_direct_for_small_pad(self, train_model, rng):
+        model, *_ = train_model
+        model.opt["tile"] = {"infer_size": 8, "tile_pad": 8}
+        model.feed_data({"lq": rng.random((1, 16, 16, 3)).astype(np.float32)})
+        model.test_tile()
+        tiled = np.asarray(model.output)
+        model.test()
+        direct = np.asarray(model.output)
+        del model.opt["tile"]
+        # halo of 8 on 16×16 tiles means each tile sees the whole image
+        np.testing.assert_allclose(tiled, direct, atol=1e-5)
+
+
+class TestPipeline:
+    def test_test_pipeline_runs(self, tmp_path):
+        """Full yml-driven harness on tiny images, config shaped like test_NAFNet_5d.yml."""
+        gt_dir, lq_dir = _make_images(str(tmp_path), n=2, size=(24, 24))
+        yml = tmp_path / "test_tiny.yml"
+        yml.write_text(
+            f"""
+name: tiny_pipeline
+model_type: SRModel
+scale: 1
+num_gpu: 0
+manual_seed: 0
+datasets:
+  test_1:
+    name: TinySet
+    type: PairedImageDataset
+    dataroot_gt: {gt_dir}
+    dataroot_lq: {lq_dir}
+    io_backend:
+      type: disk
+network_g:
+  type: NAFNetBaseline
+  width: 8
+  enc_blk_nums: [1, 1]
+  middle_blk_num: 1
+  dec_blk_nums: [1, 1]
+  window_size: 4
+path: {{}}
+val:
+  save_img: true
+  suffix: ~
+  metrics:
+    psnr:
+      type: calculate_psnr
+      crop_border: 0
+      test_y_channel: false
+      image_range: 255.0
+    ssim:
+      type: calculate_ssim
+      crop_border: 0
+      test_y_channel: false
+      image_range: 255.0
+"""
+        )
+        from dcpt_tpu.test import test_pipeline
+
+        results = test_pipeline(str(tmp_path), args=["-opt", str(yml)])
+        assert "TinySet" in results
+        assert 0 < results["TinySet"]["psnr"] < 100
+        assert 0 < results["TinySet"]["ssim"] <= 1
+        vis = tmp_path / "results" / "tiny_pipeline" / "visualization" / "TinySet"
+        assert len(list(vis.glob("*.png"))) == 2
