@@ -1,3 +1,3 @@
-from .mesh import get_default_mesh, make_mesh, replicate, shard_batch
+from .mesh import get_default_mesh, make_mesh, replicate, set_default_mesh, shard_batch
 
-__all__ = ["get_default_mesh", "make_mesh", "replicate", "shard_batch"]
+__all__ = ["get_default_mesh", "make_mesh", "replicate", "set_default_mesh", "shard_batch"]
