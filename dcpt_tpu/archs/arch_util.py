@@ -103,6 +103,12 @@ class LayerNorm2d(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         weight = self.param("weight", nn.initializers.ones, (self.channels,))
         bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        from ..ops import pallas_enabled
+
+        if pallas_enabled():
+            from ..ops import layer_norm_2d
+
+            return layer_norm_2d(x, weight, bias, self.eps)
         mu = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
         y = (x - mu) * jax.lax.rsqrt(var + self.eps)

@@ -1,0 +1,112 @@
+"""Pallas kernel parity vs jnp compositions (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+class TestLayerNorm2d:
+    def _jnp_ln(self, x, w, b, eps=1e-6):
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + eps) * w + b
+
+    def test_forward_matches(self, rng):
+        from dcpt_tpu.ops import layer_norm_2d
+
+        x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal(16).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal(16).astype(np.float32))
+        out = layer_norm_2d(x, w, b, 1e-6, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(self._jnp_ln(x, w, b)), atol=1e-5)
+
+    def test_gradient_matches(self, rng):
+        from dcpt_tpu.ops import layer_norm_2d
+
+        x = jnp.asarray(rng.standard_normal((1, 4, 4, 8)).astype(np.float32))
+        w = jnp.asarray(1 + 0.1 * rng.standard_normal(8).astype(np.float32))
+        b = jnp.asarray(0.1 * rng.standard_normal(8).astype(np.float32))
+
+        def f_pallas(x, w, b):
+            return jnp.sum(jnp.sin(layer_norm_2d(x, w, b, 1e-6, True)))
+
+        def f_jnp(x, w, b):
+            return jnp.sum(jnp.sin(self._jnp_ln(x, w, b)))
+
+        g1 = jax.grad(f_pallas, argnums=(0, 1, 2))(x, w, b)
+        g2 = jax.grad(f_jnp, argnums=(0, 1, 2))(x, w, b)
+        for a, c in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-4)
+
+    def test_matches_reference_layernorm_ext(self, reference, rng):
+        """Against the reference's ATen layernorm op (CPU-runnable)."""
+        import torch
+
+        # the compiled layernorm_ext is unavailable on CPU; its pure-torch twin
+        # in nafnet_arch implements identical math (nafnet_arch.py:25-64)
+        from basicsr.archs.nafnet_arch import LayerNormFunction
+
+        from dcpt_tpu.ops import layer_norm_2d
+
+        x = rng.standard_normal((1, 8, 6, 6)).astype(np.float32)  # NCHW for torch
+        w = rng.standard_normal(8).astype(np.float32)
+        b = rng.standard_normal(8).astype(np.float32)
+        tx = torch.from_numpy(x).requires_grad_(True)
+        tw = torch.from_numpy(w).requires_grad_(True)
+        tb = torch.from_numpy(b).requires_grad_(True)
+        t_out = LayerNormFunction.apply(tx, tw, tb, 1e-6)
+        t_out.sum().backward()
+
+        x_nhwc = jnp.asarray(x.transpose(0, 2, 3, 1))
+        out = layer_norm_2d(x_nhwc, jnp.asarray(w), jnp.asarray(b), 1e-6, True)
+        np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), t_out.detach().numpy(), atol=1e-5)
+
+        gx, gw, gb = jax.grad(lambda x, w, b: jnp.sum(layer_norm_2d(x, w, b, 1e-6, True)), argnums=(0, 1, 2))(
+            x_nhwc, jnp.asarray(w), jnp.asarray(b)
+        )
+        np.testing.assert_allclose(np.asarray(gx).transpose(0, 3, 1, 2), tx.grad.numpy(), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw), tw.grad.numpy(), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gb), tb.grad.numpy(), atol=1e-4)
+
+
+class TestFusedAct:
+    def test_matches_reference_semantics(self, rng):
+        """out = √2·leaky_relu(x+b); grad matches jnp autodiff."""
+        from dcpt_tpu.ops import fused_bias_leaky_relu
+
+        x = jnp.asarray(rng.standard_normal((2, 4, 4, 8)).astype(np.float32))
+        b = jnp.asarray(0.2 * rng.standard_normal(8).astype(np.float32))
+
+        def ref(x, b):
+            return jax.nn.leaky_relu(x + b, 0.2) * (2**0.5)
+
+        out = fused_bias_leaky_relu(x, b, 0.2, 2**0.5, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref(x, b)), atol=1e-6)
+
+        g1 = jax.grad(lambda x, b: jnp.sum(jnp.cos(fused_bias_leaky_relu(x, b, 0.2, 2**0.5, True))), argnums=(0, 1))(x, b)
+        g2 = jax.grad(lambda x, b: jnp.sum(jnp.cos(ref(x, b))), argnums=(0, 1))(x, b)
+        for a, c in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)
+
+
+class TestWindowProcess:
+    @pytest.mark.parametrize("shift", [0, 2])
+    def test_partition_matches_roll_compose(self, rng, shift):
+        from dcpt_tpu.archs.swinir_arch import window_partition
+        from dcpt_tpu.ops import window_partition_fused
+
+        x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)).astype(np.float32))
+        expected = window_partition(jnp.roll(x, (-shift, -shift), (1, 2)) if shift else x, 4)
+        got = window_partition_fused(x, 4, shift, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=0)
+
+    @pytest.mark.parametrize("shift", [0, 2])
+    def test_reverse_roundtrip(self, rng, shift):
+        from dcpt_tpu.ops import window_partition_fused, window_reverse_fused
+
+        x = jnp.asarray(rng.standard_normal((1, 8, 8, 16)).astype(np.float32))
+        win = window_partition_fused(x, 4, shift, interpret=True)
+        back = window_reverse_fused(win, 4, 8, 8, shift, interpret=True)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=0)
