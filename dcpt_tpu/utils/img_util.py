@@ -31,7 +31,12 @@ def imfrombytes(content: bytes, flag: str = "color", depth: int = 8, float32: bo
     if flag == "grayscale":
         img = img[..., np.newaxis]
     if float32:
-        img = img.astype(np.float32) / 255.0
+        if img.dtype == np.uint8 and img.ndim == 3:
+            from ..native import u8_to_f32
+
+            img = u8_to_f32(img, swap_rb=False)  # keep BGR; one fused native pass
+        else:
+            img = img.astype(np.float32) / 255.0
     return img
 
 
@@ -74,6 +79,11 @@ def tensor2img(tensor, rgb2bgr: bool = True, out_type=np.uint8, min_max: tuple =
             img_np = img_np[0]
         if img_np.ndim == 2:
             img_np = img_np[..., None]
+        # fused native fast path for the common save case
+        if out_type == np.uint8 and rgb2bgr and min_max == (0, 1) and img_np.shape[2] == 3:
+            from ..native import f32_to_u8_bgr
+
+            return f32_to_u8_bgr(np.ascontiguousarray(img_np))
         img_np = np.clip(img_np, min_max[0], min_max[1])
         img_np = (img_np - min_max[0]) / (min_max[1] - min_max[0])
         if img_np.shape[2] == 3 and rgb2bgr:
