@@ -1,0 +1,48 @@
+"""Multi-host distributed helpers — the dist_util API surface on JAX.
+
+The reference wraps NCCL process groups (``basicsr/utils/dist_util.py:11-82``);
+on TPU the analog is ``jax.distributed.initialize()`` per host, with rank/world
+from ``jax.process_index/count``.  Collectives are compiled by XLA inside jit —
+no explicit communication API is needed at this layer.
+"""
+
+from __future__ import annotations
+
+import functools
+
+
+def init_dist(launcher: str = "jax", backend: str | None = None, **kwargs) -> None:
+    """Initialise multi-host JAX (reference init_dist, dist_util.py:11-19).
+
+    No-op when running single-process (e.g. local testing)."""
+    import jax
+
+    if launcher in ("none", None):
+        return
+    try:
+        if not jax.distributed.is_initialized():
+            jax.distributed.initialize(**kwargs)
+    except Exception:  # already initialised or single-process
+        pass
+
+
+def get_dist_info() -> tuple[int, int]:
+    """(rank, world_size) (reference: dist_util.py:61-72)."""
+    try:
+        import jax
+
+        return jax.process_index(), jax.process_count()
+    except Exception:
+        return 0, 1
+
+
+def master_only(func):
+    """Run only on rank 0 (reference: dist_util.py:75-82)."""
+
+    @functools.wraps(func)
+    def wrapper(*args, **kwargs):
+        rank, _ = get_dist_info()
+        if rank == 0:
+            return func(*args, **kwargs)
+
+    return wrapper
