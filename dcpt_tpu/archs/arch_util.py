@@ -215,6 +215,62 @@ def resize_bilinear(x: jax.Array, out_hw: tuple[int, int], align_corners: bool =
     )
 
 
+def flow_warp(x: jax.Array, flow: jax.Array, padding_mode: str = "zeros") -> jax.Array:
+    """Warp an NHWC image by optical flow (reference: arch_util.py:112-160).
+
+    flow: (N, H, W, 2) with (dx, dy) displacements in pixels.  Bilinear
+    sampling with zero (or edge) padding — a gather-based grid_sample.
+    """
+    n, h, w, c = x.shape
+    grid_y = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    grid_x = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    vx = grid_x[None] + flow[..., 0]
+    vy = grid_y[None] + flow[..., 1]
+
+    x0 = jnp.floor(vx)
+    y0 = jnp.floor(vy)
+    wx = vx - x0
+    wy = vy - y0
+
+    def gather(yi, xi):
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        vals = jax.vmap(lambda img, ys, xs: img[ys, xs])(x, yc, xc)
+        if padding_mode == "zeros":
+            inside = ((yi >= 0) & (yi <= h - 1) & (xi >= 0) & (xi <= w - 1))[..., None]
+            vals = jnp.where(inside, vals, 0.0)
+        return vals
+
+    top = gather(y0, x0) * (1 - wx)[..., None] + gather(y0, x0 + 1) * wx[..., None]
+    bot = gather(y0 + 1, x0) * (1 - wx)[..., None] + gather(y0 + 1, x0 + 1) * wx[..., None]
+    return top * (1 - wy)[..., None] + bot * wy[..., None]
+
+
+class LocalInstanceNorm2d(nn.Module):
+    """Instance norm with TLSC local statistics (reference: arch_util.py:401-433)."""
+
+    num_features: int
+    eps: float = 1e-5
+    affine: bool = False
+    kernel_size: tuple[int, int] | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.kernel_size is None:
+            mean_x = jnp.mean(x, axis=(1, 2), keepdims=True)
+            mean_xx = jnp.mean(x * x, axis=(1, 2), keepdims=True)
+        else:
+            mean_x = local_avg_pool(x, self.kernel_size)
+            mean_xx = local_avg_pool(x * x, self.kernel_size)
+        var = mean_xx - mean_x * mean_x
+        out = (x - mean_x) * jax.lax.rsqrt(var + self.eps)
+        if self.affine:
+            weight = self.param("weight", nn.initializers.ones, (self.num_features,))
+            bias = self.param("bias", nn.initializers.zeros, (self.num_features,))
+            out = out * weight + bias
+        return out
+
+
 def trunc_normal_init(std: float = 0.02):
     """Truncated-normal init à la timm's trunc_normal_ (reference: arch_util.py:259-310)."""
     return nn.initializers.truncated_normal(stddev=std, lower=-2.0, upper=2.0)

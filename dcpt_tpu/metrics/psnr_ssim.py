@@ -144,6 +144,42 @@ def calculate_nrmse(img, img2, crop_border, input_order="BCHW", test_y_channel=F
     return float(np.array(nrmses).mean())
 
 
+@METRIC_REGISTRY.register()
+def calculate_ssim_matlab(img, img2, crop_border, input_order="BCHW", test_y_channel=False, image_range=255, **kwargs):
+    """Conv-based MATLAB SSIM with replicate padding (reference: psnr_ssim.py:201-330).
+
+    NOTE: the reference appends each image's LAST per-channel SSIM twice
+    (psnr_ssim.py:323-327 keeps a stray extra append); that bug is not
+    reproduced — this computes the plain per-channel mean.
+    """
+    from scipy.ndimage import correlate
+
+    assert img.shape == img2.shape, f"Image shapes are different: {img.shape}, {img2.shape}."
+    imgs = reorder_image(np.asarray(img), input_order=input_order)
+    imgs2 = reorder_image(np.asarray(img2), input_order=input_order)
+
+    c1 = (0.01 * image_range) ** 2
+    c2 = (0.03 * image_range) ** 2
+    window = _gaussian_window_11()
+
+    ssims = []
+    for i in range(imgs.shape[0]):
+        a, b = _quantize_pair(imgs[i], imgs2[i], image_range, crop_border, test_y_channel)
+        a = a.astype(np.float32)
+        b = b.astype(np.float32)
+        for j in range(a.shape[2]):
+            x, y = a[..., j], b[..., j]
+            conv = functools.partial(correlate, weights=window, mode="nearest")
+            mu1, mu2 = conv(x), conv(y)
+            mu1_sq, mu2_sq, mu1_mu2 = mu1**2, mu2**2, mu1 * mu2
+            sigma1_sq = conv(x * x) - mu1_sq
+            sigma2_sq = conv(y * y) - mu2_sq
+            sigma12 = conv(x * y) - mu1_mu2
+            ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / ((mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))
+            ssims.append(ssim_map.mean())
+    return float(np.mean(ssims))
+
+
 # ---------------------------------------------------------------------------
 # Device (jnp) path — jittable, batched, NHWC float in [0, 1].
 # ---------------------------------------------------------------------------

@@ -100,6 +100,27 @@ def init_tb_logger(log_dir: str):
     return SummaryWriter(log_dir=log_dir)
 
 
+def init_wandb_logger(opt: dict) -> None:
+    """wandb sync of the TB run (reference: logger.py:127-153); gated on wandb."""
+    try:
+        import wandb
+    except ImportError:
+        get_root_logger().warning("wandb unavailable; skipping wandb logger.")
+        return
+    logger = get_root_logger()
+    project = opt["logger"]["wandb"]["project"]
+    resume_id = opt["logger"]["wandb"].get("resume_id")
+    if resume_id:
+        wandb_id = resume_id
+        resume = "allow"
+        logger.warning(f"Resume wandb logger with id={wandb_id}.")
+    else:
+        wandb_id = wandb.util.generate_id()
+        resume = "never"
+    wandb.init(id=wandb_id, resume=resume, name=opt["name"], config=opt, project=project, sync_tensorboard=True)
+    logger.info(f"Use wandb logger with id={wandb_id}; project={project}.")
+
+
 def get_root_logger(logger_name: str = "dcpt_tpu", log_level: int = logging.INFO, log_file: str | None = None):
     """Rank-aware root logger (reference: logger.py:156-195)."""
     logger = logging.getLogger(logger_name)
