@@ -206,16 +206,23 @@ class SRModel(BaseModel):
         return self._apply_cache["fwd"](params, x)
 
     def pre_test(self) -> None:
-        """Reflect-pad H, W to window-size multiples (sr_model.py:244-260)."""
+        """Reflect-pad H, W to window-size multiples (sr_model.py:244-260).
+
+        ``val.pad_multiple`` (TPU extension) buckets the padded shape up to a
+        larger multiple, bounding the number of XLA recompiles across a
+        variable-size validation set to one per bucket.
+        """
         self.mod_pad_h, self.mod_pad_w = 0, 0
-        if "window_size" not in self.opt["network_g"]:
+        window_size = 1
+        if "window_size" in self.opt["network_g"]:
+            window_size = check_window_size(self.opt["network_g"]["window_size"])
+        bucket = (self.opt.get("val") or {}).get("pad_multiple", 0)
+        multiple = max(window_size, bucket or 0)
+        if multiple <= 1:
             return
-        window_size = check_window_size(self.opt["network_g"]["window_size"])
         _, h, w, _ = self.lq.shape
-        if h % window_size != 0:
-            self.mod_pad_h = window_size - h % window_size
-        if w % window_size != 0:
-            self.mod_pad_w = window_size - w % window_size
+        self.mod_pad_h = (multiple - h % multiple) % multiple
+        self.mod_pad_w = (multiple - w % multiple) % multiple
         if self.mod_pad_h or self.mod_pad_w:
             self.lq = jnp.pad(self.lq, ((0, 0), (0, self.mod_pad_h), (0, self.mod_pad_w), (0, 0)), mode="reflect")
 

@@ -1,0 +1,68 @@
+"""Spatial (height) sharding for huge-image inference — the context-parallel
+analog for restoration nets.
+
+The reference handles large images with host-looped halo tiling
+(``SRModel.test_tile``, sr_model.py:273-361).  On a TPU mesh the same
+halo-overlap idea runs in PARALLEL: the image's H dimension is sharded across
+the 'data' axis with ``shard_map``; each device exchanges ``halo`` boundary
+rows with its neighbours over ICI (``jax.lax.ppermute``), runs the network on
+its slice + halo, and crops the halo off.  Outer edges reflect-pad, matching
+the eval harness's padding convention.
+
+Accuracy has the same contract as ``test_tile``: exact when ``halo`` covers the
+conv receptive field; global-pool layers (NAFNet's SCA) see per-shard
+statistics unless the arch cooperates (see ``NAFBlock``'s TLSC local-stats
+mode, which makes statistics local by construction and is the recommended
+pairing — exactly why TLSC exists in the reference).
+
+SURVEY §5.7 lists this as the genuine beyond-reference extension.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def spatial_sharded_apply(forward_fn, params, x: jax.Array, mesh: Mesh, halo: int, axis: str = "data", scale: int = 1):
+    """Run ``forward_fn(params, x_slice)`` H-sharded over ``axis`` with halo exchange.
+
+    x: (B, H, W, C) with H divisible by the axis size. Returns (B, H·scale, W·scale, C).
+    """
+    n = mesh.shape[axis]
+    b, h, w, c = x.shape
+    assert h % n == 0, f"H={h} must divide over {n} shards"
+
+    def shard_fn(params, xl):
+        # xl: (B, H/n, W, C) local slice
+        idx = jax.lax.axis_index(axis)
+        up = [(i, (i - 1) % n) for i in range(n)]  # send to previous → receive from next
+        down = [(i, (i + 1) % n) for i in range(n)]  # send to next → receive from previous
+
+        # halo rows from neighbours (wrapped values fixed up below)
+        from_prev = jax.lax.ppermute(xl[:, -halo:], axis, down)  # prev device's last rows
+        from_next = jax.lax.ppermute(xl[:, :halo], axis, up)  # next device's first rows
+
+        # outer edges: reflect own rows (matches jnp.pad 'reflect')
+        top_reflect = xl[:, 1 : halo + 1][:, ::-1]
+        bot_reflect = xl[:, -halo - 1 : -1][:, ::-1]
+        top = jnp.where(idx == 0, top_reflect, from_prev)
+        bot = jnp.where(idx == n - 1, bot_reflect, from_next)
+
+        padded = jnp.concatenate([top, xl, bot], axis=1)
+        out = forward_fn(params, padded)
+        return out[:, halo * scale : out.shape[1] - halo * scale]
+
+    shard = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis)),
+        out_specs=P(None, axis),
+        check_vma=False,
+    )
+    x = jax.device_put(x, NamedSharding(mesh, P(None, axis)))
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+    return shard(params, x)
