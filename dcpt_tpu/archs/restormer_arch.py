@@ -86,14 +86,28 @@ class MDTA(nn.Module):
             return t.reshape(b, h * w, heads, ch).transpose(0, 2, 3, 1)
 
         q, k, v = heads_first(q), heads_first(k), heads_first(v)
-        # L2-normalise along the pixel axis (torch F.normalize eps=1e-12)
-        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
-        k = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
-
         temperature = self.param("temperature", nn.initializers.ones, (heads, 1, 1))
-        attn = jnp.einsum("bhcp,bhdp->bhcd", q, k) * temperature
-        attn = jax.nn.softmax(attn, axis=-1) if self.use_softmax else jax.nn.relu(attn)
-        out = jnp.einsum("bhcd,bhdp->bhcp", attn, v)
+
+        from ..ops import pallas_enabled
+
+        if pallas_enabled():
+            from ..ops import mdta_attention
+
+            t_bh = jnp.tile(temperature[:, 0, 0], (b,))
+            out = mdta_attention(
+                q.reshape(b * heads, ch, h * w),
+                k.reshape(b * heads, ch, h * w),
+                v.reshape(b * heads, ch, h * w),
+                t_bh,
+                self.use_softmax,
+            ).reshape(b, heads, ch, h * w)
+        else:
+            # L2-normalise along the pixel axis (torch F.normalize eps=1e-12)
+            qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+            kn = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
+            attn = jnp.einsum("bhcp,bhdp->bhcd", qn, kn) * temperature
+            attn = jax.nn.softmax(attn, axis=-1) if self.use_softmax else jax.nn.relu(attn)
+            out = jnp.einsum("bhcd,bhdp->bhcp", attn, v)
 
         out = out.transpose(0, 3, 1, 2).reshape(b, h, w, c)
         return _conv(c, 1, self.bias, "project_out")(out)

@@ -27,6 +27,7 @@ def enable_pallas(flag: bool = True) -> None:
 
 from .fused_act import fused_bias_leaky_relu  # noqa: E402,F401
 from .layernorm2d import layer_norm_2d  # noqa: E402,F401
+from .mdta import mdta_attention  # noqa: E402,F401
 from .window_process import window_partition_fused, window_reverse_fused  # noqa: E402,F401
 
 __all__ = [
@@ -34,6 +35,7 @@ __all__ = [
     "enable_pallas",
     "layer_norm_2d",
     "fused_bias_leaky_relu",
+    "mdta_attention",
     "window_partition_fused",
     "window_reverse_fused",
 ]

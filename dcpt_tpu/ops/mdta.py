@@ -1,0 +1,100 @@
+"""Fused MDTA (transposed channel attention) — the Restormer/PromptIR hot op.
+
+Beyond-reference fusion (SURVEY §7.6d): L2-normalise(q,k along pixels) →
+C×C Gram → per-head temperature → ReLU/softmax → ·V in ONE VMEM-resident
+kernel per (batch·head).  The normalisation folds into the Gram
+(gram[i,j]/(‖q_i‖‖k_j‖)), so q/k are read once and no normalised copies or
+attention matrix ever hit HBM.  The Gram and PV are MXU matmuls.
+
+Backward recomputes through the jnp reference composition (custom_vjp), so the
+kernel accelerates inference and the forward of training without a
+hand-written backward.
+
+Falls back to the jnp path when the per-head q/k/v blocks exceed the VMEM
+budget (large images route through the eval tiler anyway).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# per-(batch·head) VMEM footprint guard: q,k,v,out at f32 + slack
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def mdta_ref(q, k, v, temperature, use_softmax: bool = False):
+    """jnp reference: q,k,v (BH, c, L); temperature (BH,) or (BH, 1, 1)."""
+    t = temperature.reshape(q.shape[0], 1, 1)
+    qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    kn = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
+    attn = jnp.einsum("bcl,bdl->bcd", qn, kn) * t
+    attn = jax.nn.softmax(attn, axis=-1) if use_softmax else jax.nn.relu(attn)
+    return jnp.einsum("bcd,bdl->bcl", attn, v)
+
+
+def _kernel(q_ref, k_ref, v_ref, t_ref, out_ref, *, use_softmax: bool):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    qn2 = jnp.sum(q * q, axis=1, keepdims=True)  # (c, 1)
+    kn2 = jnp.sum(k * k, axis=1, keepdims=True)
+    inv_q = jax.lax.rsqrt(jnp.maximum(qn2, 1e-24))
+    inv_k = jax.lax.rsqrt(jnp.maximum(kn2, 1e-24))
+    gram = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    attn = gram * inv_q * inv_k.T * t_ref[0]
+    attn = jax.nn.softmax(attn, axis=-1) if use_softmax else jax.nn.relu(attn)
+    out_ref[0] = jnp.dot(attn.astype(v.dtype), v, preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+def _mdta_pallas(q, k, v, temperature, use_softmax: bool, interpret: bool):
+    bh, c, l = q.shape
+    t = jnp.broadcast_to(temperature.reshape(bh, 1, 1), (bh, 1, 1))
+    return pl.pallas_call(
+        functools.partial(_kernel, use_softmax=use_softmax),
+        grid=(bh,),
+        in_specs=[
+            pl.BlockSpec((1, c, l), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, l), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, l), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c, l), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, c, l), q.dtype),
+        interpret=interpret,
+    )(q, k, v, t)
+
+
+def _fits_vmem(q) -> bool:
+    _, c, l = q.shape
+    per_head = 4 * c * l * q.dtype.itemsize  # q,k,v,out blocks (double-buffered pairs)
+    return per_head <= _VMEM_BUDGET_BYTES and l % 128 == 0
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def mdta_attention(q, k, v, temperature, use_softmax: bool = False, interpret: bool = False):
+    """Fused MDTA over (BH, c, L) tensors; differentiable (bwd via jnp recompute)."""
+    if not interpret and not _fits_vmem(q):
+        return mdta_ref(q, k, v, temperature, use_softmax)
+    return _mdta_pallas(q, k, v, temperature, use_softmax, interpret)
+
+
+def _fwd(q, k, v, temperature, use_softmax, interpret):
+    return mdta_attention(q, k, v, temperature, use_softmax, interpret), (q, k, v, temperature)
+
+
+def _bwd(use_softmax, interpret, res, g):
+    q, k, v, temperature = res
+    _, vjp = jax.vjp(
+        lambda q, k, v, t: mdta_ref(q, k, v, t.reshape(q.shape[0], 1, 1), use_softmax),
+        q, k, v, temperature.reshape(-1),
+    )
+    gq, gk, gv, gt = vjp(g)
+    return gq, gk, gv, gt.reshape(temperature.shape)
+
+
+mdta_attention.defvjp(_fwd, _bwd)

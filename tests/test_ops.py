@@ -110,3 +110,50 @@ class TestWindowProcess:
         win = window_partition_fused(x, 4, shift, interpret=True)
         back = window_reverse_fused(win, 4, 8, 8, shift, interpret=True)
         np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=0)
+
+
+class TestMDTA:
+    @pytest.mark.parametrize("use_softmax", [False, True])
+    def test_fused_matches_reference(self, rng, use_softmax):
+        from dcpt_tpu.ops.mdta import mdta_attention, mdta_ref
+
+        q = jnp.asarray(rng.standard_normal((4, 16, 128)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((4, 16, 128)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((4, 16, 128)).astype(np.float32))
+        t = jnp.asarray(rng.random(4).astype(np.float32) + 0.5)
+        fused = mdta_attention(q, k, v, t, use_softmax, True)
+        ref = mdta_ref(q, k, v, t.reshape(4, 1, 1), use_softmax)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-5)
+
+    def test_gradients_flow(self, rng):
+        from dcpt_tpu.ops.mdta import mdta_attention, mdta_ref
+
+        q = jnp.asarray(rng.standard_normal((2, 8, 128)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((2, 8, 128)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((2, 8, 128)).astype(np.float32))
+        t = jnp.ones(2)
+        g1 = jax.grad(lambda q: jnp.sum(mdta_attention(q, k, v, t, False, True) ** 2))(q)
+        g2 = jax.grad(lambda q: jnp.sum(mdta_ref(q, k, v, t.reshape(2, 1, 1), False) ** 2))(q)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+    def test_restormer_with_pallas_mdta_matches(self, rng):
+        """Restormer forward identical with/without the fused MDTA path."""
+        from dcpt_tpu.archs.restormer_arch import Restormer
+        from dcpt_tpu.ops import enable_pallas
+        from dcpt_tpu.ops import mdta as mdta_mod
+
+        net = Restormer(dim=8, num_blocks=(1, 1, 1, 1), num_refinement_blocks=1, heads=(1, 2, 2, 4))
+        x = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+        params = net.init(jax.random.PRNGKey(0), x)
+        base, _ = net.apply(params, x)
+        # interpret mode so the kernel runs on CPU
+        orig = mdta_mod._mdta_pallas
+        mdta_mod_interp = lambda q, k, v, t, s, i: orig(q, k, v, t, s, True)
+        mdta_mod._mdta_pallas = mdta_mod_interp
+        enable_pallas(True)
+        try:
+            fused, _ = net.apply(params, x)
+        finally:
+            enable_pallas(False)
+            mdta_mod._mdta_pallas = orig
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(base), atol=1e-4)
