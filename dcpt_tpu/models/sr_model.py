@@ -402,8 +402,16 @@ class SRModel(BaseModel):
             self.nondist_profile(dataloader)
 
     def nondist_profile(self, dataloader, flops: bool = True):
-        """Latency / memory / FLOPs report (reference: sr_model.py:520-568)."""
+        """Latency / memory / FLOPs report (reference: sr_model.py:520-568).
+
+        ``profile_trace_dir`` in the options additionally captures a
+        ``jax.profiler`` trace viewable in TensorBoard/Perfetto.
+        """
         logger = get_root_logger()
+        trace_dir = self.opt.get("profile_trace_dir")
+        trace_cm = jax.profiler.trace(trace_dir) if trace_dir else None
+        if trace_cm is not None:
+            trace_cm.__enter__()
         timings, mpix = [], []
         flops_reported = False
         for idx, val_data in enumerate(dataloader):
@@ -432,6 +440,9 @@ class SRModel(BaseModel):
             mpix.append(self.lq.shape[1] * self.lq.shape[2] * self.lq.shape[0] / 1e6 / dt)
             self.post_test()
 
+        if trace_cm is not None:
+            trace_cm.__exit__(None, None, None)
+            logger.info(f"jax.profiler trace written to {trace_dir}")
         logger.info(f"The average test time is {np.mean(timings):.2f} ms.")
         logger.info(f"Throughput: {np.mean(mpix):.2f} Megapixels/sec/chip.")
         try:

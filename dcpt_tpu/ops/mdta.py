@@ -45,10 +45,12 @@ def _kernel(q_ref, k_ref, v_ref, t_ref, out_ref, *, use_softmax: bool):
     kn2 = jnp.sum(k * k, axis=1, keepdims=True)
     inv_q = jax.lax.rsqrt(jnp.maximum(qn2, 1e-24))
     inv_k = jax.lax.rsqrt(jnp.maximum(kn2, 1e-24))
-    gram = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-    attn = gram * inv_q * inv_k.T * t_ref[0]
+    gram = jnp.dot(q, k.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    attn = gram * inv_q * inv_k.T * t_ref[0, 0, 0]
     attn = jax.nn.softmax(attn, axis=-1) if use_softmax else jax.nn.relu(attn)
-    out_ref[0] = jnp.dot(attn.astype(v.dtype), v, preferred_element_type=jnp.float32).astype(v.dtype)
+    out_ref[0] = jnp.dot(
+        attn.astype(v.dtype), v, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    ).astype(v.dtype)
 
 
 def _mdta_pallas(q, k, v, temperature, use_softmax: bool, interpret: bool):
