@@ -71,6 +71,77 @@ def _mdta_pallas(q, k, v, temperature, use_softmax: bool, interpret: bool):
     )(q, k, v, t)
 
 
+def _gram_kernel(q_ref, k_ref, gram_ref, qn2_ref, kn2_ref):
+    """Accumulate Gram + squared norms over L tiles (flash-style pass 1)."""
+    l_idx = pl.program_id(1)
+    q = q_ref[0]
+    k = k_ref[0]
+
+    @pl.when(l_idx == 0)
+    def _():
+        gram_ref[0] = jnp.zeros_like(gram_ref[0])
+        qn2_ref[0] = jnp.zeros_like(qn2_ref[0])
+        kn2_ref[0] = jnp.zeros_like(kn2_ref[0])
+
+    gram_ref[0] += jnp.dot(q, k.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    qn2_ref[0] += jnp.sum(q * q, axis=1, keepdims=True)
+    kn2_ref[0] += jnp.sum(k * k, axis=1, keepdims=True)
+
+
+def _pv_kernel(attn_ref, v_ref, out_ref):
+    out_ref[0] = jnp.dot(
+        attn_ref[0], v_ref[0], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    ).astype(out_ref.dtype)
+
+
+def _pick_l_tile(l: int) -> int:
+    for t in (8192, 4096, 2048, 1024, 512, 256, 128):
+        if l % t == 0:
+            return t
+    return l
+
+
+def _mdta_pallas_tiled(q, k, v, temperature, use_softmax: bool, interpret: bool):
+    """Two-pass L-tiled variant for maps too large to keep per-head in VMEM."""
+    bh, c, l = q.shape
+    tl = _pick_l_tile(l)
+    grid = (bh, l // tl)
+    spec_in = pl.BlockSpec((1, c, tl), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM)
+    gram, qn2, kn2 = pl.pallas_call(
+        _gram_kernel,
+        grid=grid,
+        in_specs=[spec_in, spec_in],
+        out_specs=[
+            pl.BlockSpec((1, c, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, c, c), jnp.float32),
+            jax.ShapeDtypeStruct((bh, c, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bh, c, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k)
+
+    inv_q = jax.lax.rsqrt(jnp.maximum(qn2, 1e-24))
+    inv_k = jax.lax.rsqrt(jnp.maximum(kn2, 1e-24))
+    attn = gram * inv_q * jnp.swapaxes(inv_k, 1, 2) * temperature.reshape(bh, 1, 1)
+    attn = (jax.nn.softmax(attn, axis=-1) if use_softmax else jax.nn.relu(attn)).astype(v.dtype)
+
+    return pl.pallas_call(
+        _pv_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, c, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            spec_in,
+        ],
+        out_specs=pl.BlockSpec((1, c, tl), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, c, l), v.dtype),
+        interpret=interpret,
+    )(attn, v)
+
+
 def _fits_vmem(q) -> bool:
     _, c, l = q.shape
     per_head = 4 * c * l * q.dtype.itemsize  # q,k,v,out blocks (double-buffered pairs)
@@ -80,8 +151,10 @@ def _fits_vmem(q) -> bool:
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def mdta_attention(q, k, v, temperature, use_softmax: bool = False, interpret: bool = False):
     """Fused MDTA over (BH, c, L) tensors; differentiable (bwd via jnp recompute)."""
-    if not interpret and not _fits_vmem(q):
+    if q.shape[-1] % 128 != 0:
         return mdta_ref(q, k, v, temperature, use_softmax)
+    if not interpret and not _fits_vmem(q):
+        return _mdta_pallas_tiled(q, k, v, temperature, use_softmax, interpret)
     return _mdta_pallas(q, k, v, temperature, use_softmax, interpret)
 
 

@@ -157,3 +157,22 @@ class TestMDTA:
             enable_pallas(False)
             mdta_mod._mdta_pallas = orig
         np.testing.assert_allclose(np.asarray(fused), np.asarray(base), atol=1e-4)
+
+    def test_tiled_variant_matches(self, rng):
+        from dcpt_tpu.ops.mdta import _mdta_pallas_tiled, mdta_ref
+
+        q = jnp.asarray(rng.standard_normal((2, 16, 512)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((2, 16, 512)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((2, 16, 512)).astype(np.float32))
+        t = jnp.asarray(rng.random(2).astype(np.float32) + 0.5)
+        # force multiple L tiles by monkeypatching the tile picker
+        import dcpt_tpu.ops.mdta as m
+
+        orig = m._pick_l_tile
+        m._pick_l_tile = lambda l: 128
+        try:
+            fused = _mdta_pallas_tiled(q, k, v, t, False, True)
+        finally:
+            m._pick_l_tile = orig
+        ref = mdta_ref(q, k, v, t, False)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=3e-5)
