@@ -94,17 +94,20 @@ def _pv_kernel(attn_ref, v_ref, out_ref):
     ).astype(out_ref.dtype)
 
 
-def _pick_l_tile(l: int) -> int:
+def _pick_l_tile(l: int, c: int) -> int:
+    """Largest L tile whose q/k/v blocks stay within a ~6 MB double-buffered
+    VMEM footprint (3 input specs × 2 buffers × c×t×4B)."""
+    budget = 6 * 1024 * 1024
     for t in (8192, 4096, 2048, 1024, 512, 256, 128):
-        if l % t == 0:
+        if l % t == 0 and 6 * c * t * 4 <= budget:
             return t
-    return l
+    return 128
 
 
 def _mdta_pallas_tiled(q, k, v, temperature, use_softmax: bool, interpret: bool):
     """Two-pass L-tiled variant for maps too large to keep per-head in VMEM."""
     bh, c, l = q.shape
-    tl = _pick_l_tile(l)
+    tl = _pick_l_tile(l, c)
     grid = (bh, l // tl)
     spec_in = pl.BlockSpec((1, c, tl), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM)
     gram, qn2, kn2 = pl.pallas_call(

@@ -1,6 +1,10 @@
 from .color_util import bgr2ycbcr, rgb2ycbcr, rgb2ycbcr_jnp, ycbcr2bgr, ycbcr2rgb
+from .diffjpeg import DiffJPEG
+from .dist_util import get_dist_info as dist_get_dist_info, init_dist, master_only
+from .file_client import FileClient
+from .img_process_util import USMSharp, filter2D, usm_sharp
 from .img_util import crop_border, imfrombytes, img2tensor, imwrite, tensor2img
-from .logger import AvgTimer, MessageLogger, get_env_info, get_root_logger, init_tb_logger
+from .logger import AvgTimer, MessageLogger, get_env_info, get_root_logger, init_tb_logger, init_wandb_logger
 from .matlab_functions import imresize
 from .misc import (
     check_resume,

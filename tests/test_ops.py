@@ -169,7 +169,7 @@ class TestMDTA:
         import dcpt_tpu.ops.mdta as m
 
         orig = m._pick_l_tile
-        m._pick_l_tile = lambda l: 128
+        m._pick_l_tile = lambda l, c: 128
         try:
             fused = _mdta_pallas_tiled(q, k, v, t, False, True)
         finally:
