@@ -98,6 +98,9 @@ class NAFNetBaseline(nn.Module):
     local_stats: bool = False
     train_size: tuple[int, int] = (128, 128)
     tlsc_ratio: float = 1.5
+    # gradient checkpointing: rematerialize each NAFBlock in the backward pass,
+    # trading FLOPs for HBM (enables larger batches/crops on one chip)
+    remat: bool = False
 
     def _block_cfg(self) -> dict[str, Any]:
         base = (int(self.train_size[0] * self.tlsc_ratio), int(self.train_size[1] * self.tlsc_ratio))
@@ -120,6 +123,7 @@ class NAFNetBaseline(nn.Module):
         """
         cfg = self._block_cfg()
         taps: dict[str, jax.Array] = {}
+        Block = nn.remat(NAFBlock, static_argnums=(2,)) if self.remat else NAFBlock
 
         x = conv2d(self.width, 3, name="intro", in_features=self.img_channel)(inp)
 
@@ -127,7 +131,7 @@ class NAFNetBaseline(nn.Module):
         chan = self.width
         for i, num in enumerate(self.enc_blk_nums):
             for j in range(num):
-                x = NAFBlock(chan, name=f"encoders_{i}_{j}", **cfg)(x, deterministic)
+                x = Block(chan, name=f"encoders_{i}_{j}", **cfg)(x, deterministic)
             taps[f"encoders.{i}"] = x
             encs.append(x)
             x = conv2d(2 * chan, 2, stride=2, padding=0, name=f"downs_{i}", in_features=chan)(x)
@@ -135,7 +139,7 @@ class NAFNetBaseline(nn.Module):
             chan *= 2
 
         for j in range(self.middle_blk_num):
-            x = NAFBlock(chan, name=f"middle_blks_{j}", **cfg)(x, deterministic)
+            x = Block(chan, name=f"middle_blks_{j}", **cfg)(x, deterministic)
             taps[f"middle_blks.{j}"] = x
 
         for i, num in enumerate(self.dec_blk_nums):
@@ -145,7 +149,7 @@ class NAFNetBaseline(nn.Module):
             chan //= 2
             x = x + encs[-(i + 1)]
             for j in range(num):
-                x = NAFBlock(chan, name=f"decoder_{i}_{j}", **cfg)(x, deterministic)
+                x = Block(chan, name=f"decoder_{i}_{j}", **cfg)(x, deterministic)
                 taps[f"decoder{i}.{j}"] = x
 
         if skip_tail:

@@ -136,11 +136,19 @@ class SRModel(BaseModel):
         ldl_std = (self.opt.get("train") or {}).get("ldl_std", False)
         tx = self.optimizer_g
         ema_decay = self.ema_decay
+        # mixed precision (TPU-native): bf16 compute with fp32 master params;
+        # losses and the optimizer update stay fp32
+        mixed = (self.opt.get("train") or {}).get("mixed_precision", False)
 
         @jax.jit
         def step(params, ema, opt_state, lq, gt, lr):
             def loss_fn(p):
-                out, _ = net.apply({"params": p}, lq, deterministic=False)
+                if mixed:
+                    p_c = jax.tree_util.tree_map(lambda t: t.astype(jnp.bfloat16), p)
+                    out, _ = net.apply({"params": p_c}, lq.astype(jnp.bfloat16), deterministic=False)
+                    out = out.astype(jnp.float32)
+                else:
+                    out, _ = net.apply({"params": p}, lq, deterministic=False)
                 losses = {}
                 total = 0.0
                 if cri_pix is not None:

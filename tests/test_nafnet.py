@@ -125,3 +125,47 @@ class TestBuildNetwork:
         )
         assert net.width == 8
         assert net.enc_blk_nums == (1, 1)
+
+
+class TestNAFNetOptions:
+    def test_remat_matches_and_differentiates(self, rng):
+        """remat=True must be numerically identical and differentiable."""
+        from dcpt_tpu.archs.nafnet_arch import NAFNetBaseline
+
+        kw = dict(img_channel=3, width=8, middle_blk_num=1, enc_blk_nums=(1,), dec_blk_nums=(1,))
+        x = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+        net = NAFNetBaseline(**kw)
+        net_r = NAFNetBaseline(**kw, remat=True)
+        params = net.init(jax.random.PRNGKey(0), x)
+        out, _ = net.apply(params, x)
+        out_r, _ = net_r.apply(params, x)
+        np.testing.assert_allclose(np.asarray(out_r), np.asarray(out), atol=1e-6)
+
+        g = jax.grad(lambda p: jnp.sum(net_r.apply(p, x)[0] ** 2))(params)
+        assert all(np.isfinite(np.asarray(t)).all() for t in jax.tree_util.tree_leaves(g))
+
+    def test_mixed_precision_train_step(self, tmp_path, rng):
+        from dcpt_tpu.models import build_model
+
+        opt = {
+            "name": "mp", "model_type": "SRModel", "scale": 1, "num_gpu": 1, "manual_seed": 0,
+            "is_train": True, "dist": False, "rank": 0, "world_size": 1,
+            "network_g": {"type": "NAFNetBaseline", "width": 8, "enc_blk_nums": (1,), "middle_blk_num": 1, "dec_blk_nums": (1,), "h": 16},
+            "path": {"models": str(tmp_path), "training_states": str(tmp_path), "visualization": str(tmp_path), "log": str(tmp_path)},
+            "train": {
+                "mixed_precision": True,
+                "optim_g": {"type": "Adam", "lr": 1e-3},
+                "scheduler": {"type": "MultiStepRestartLR", "milestones": [100]},
+                "pixel_opt": {"type": "L1Loss"}, "total_iter": 2,
+            },
+            "val": {"metrics": {"psnr": {"type": "calculate_psnr", "crop_border": 0, "image_range": 255.0}}},
+        }
+        model = build_model(opt)
+        lq = rng.random((2, 16, 16, 3)).astype(np.float32)
+        gt = np.clip(lq + 0.02, 0, 1).astype(np.float32)
+        model.update_learning_rate(1)
+        model.feed_data({"lq": lq, "gt": gt})
+        model.optimize_parameters(1)
+        assert np.isfinite(model.log_dict["l_total"])
+        # master params stay fp32
+        assert jax.tree_util.tree_leaves(model.params_g)[0].dtype == jnp.float32
