@@ -238,7 +238,11 @@ class BaseModel:
         return jax.tree_util.tree_map(jnp.asarray, loaded)
 
     def save_training_state(self, epoch: int, current_iter: int, state: dict) -> None:
-        """Orbax save of {epoch, iter, opt_states…} (reference: base_model.py:371-411)."""
+        """Orbax save of {epoch, iter, opt_states…} (reference: base_model.py:371-411).
+
+        ``logger.keep_checkpoints`` (TPU extension) prunes old `.state` dirs,
+        keeping the newest N — orbax-style retention.
+        """
         if current_iter == -1 or not self._is_master():
             return
         import orbax.checkpoint as ocp
@@ -247,6 +251,18 @@ class BaseModel:
         path = osp.join(self.opt["path"]["training_states"], f"{current_iter}.state")
         with ocp.PyTreeCheckpointer() as ckptr:
             ckptr.save(os.path.abspath(path), state, force=True)
+
+        keep = (self.opt.get("logger") or {}).get("keep_checkpoints")
+        if keep:
+            root = self.opt["path"]["training_states"]
+            states = sorted(
+                (f for f in os.listdir(root) if f.endswith(".state")),
+                key=lambda f: float(f.split(".state")[0]),
+            )
+            for old in states[:-keep]:
+                import shutil
+
+                shutil.rmtree(osp.join(root, old), ignore_errors=True)
 
     def resume_training_state(self, state_path: str) -> dict:
         import orbax.checkpoint as ocp

@@ -339,6 +339,7 @@ class SRModel(BaseModel):
                 self.test()
             self.post_test()
 
+            device_result, device_gt = self.output, self.gt
             visuals = self.get_current_visuals()
             result = visuals["result"]
             gt = visuals.get("gt")
@@ -351,9 +352,17 @@ class SRModel(BaseModel):
 
             if with_metrics:
                 for name, opt_ in self.opt["val"]["metrics"].items():
-                    self.metric_results[name] += calculate_metric(
-                        {"img": result, "img2": gt}, dict(opt_, input_order="BHWC")
-                    )
+                    if str(opt_.get("type", "")).endswith("_device"):
+                        # on-device metric: no host round-trip (BASELINE.json goal)
+                        val = calculate_metric(
+                            {"img": jnp.clip(device_result, 0, 1), "img2": jnp.clip(device_gt, 0, 1)},
+                            dict(opt_),
+                        )
+                        self.metric_results[name] += float(jnp.mean(val))
+                    else:
+                        self.metric_results[name] += calculate_metric(
+                            {"img": result, "img2": gt}, dict(opt_, input_order="BHWC")
+                        )
                 if not clamp:
                     result = np.nan_to_num(result)
                     self.metric_results["mae"] = 255 * np.abs(np.mean(result.clip(0, 1) - gt))

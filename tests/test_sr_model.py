@@ -190,3 +190,28 @@ val:
         assert 0 < results["TinySet"]["ssim"] <= 1
         vis = tmp_path / "results" / "tiny_pipeline" / "visualization" / "TinySet"
         assert len(list(vis.glob("*.png"))) == 2
+
+
+class TestDeviceMetricsValidation:
+    def test_on_device_metric_in_validation(self, tmp_path):
+        """val metric type ending in _device computes without host round-trip."""
+        gt_dir, lq_dir = _make_images(str(tmp_path), n=2, size=(16, 16))
+        from dcpt_tpu.data import DataLoader, build_dataset
+        from dcpt_tpu.models import build_model
+
+        opt = _train_opt(tmp_path, gt_dir, lq_dir)
+        opt["is_train"] = False
+        opt["val"]["metrics"] = {
+            "psnr": {"type": "calculate_psnr", "crop_border": 0, "image_range": 255.0},
+            "psnr_dev": {"type": "calculate_psnr_device", "crop_border": 0},
+        }
+        del opt["train"]
+        model = build_model(opt)
+        ds = build_dataset({
+            "name": "tiny", "phase": "test", "scale": 1, "type": "PairedImageDataset",
+            "io_backend": {"type": "disk"}, "dataroot_gt": gt_dir, "dataroot_lq": lq_dir,
+        })
+        loader = DataLoader(ds, batch_size=1)
+        model.nondist_validation(loader, 1, None, save_img=False)
+        # quantized host PSNR and float device PSNR agree within rounding effects
+        assert abs(model.metric_results["psnr"] - model.metric_results["psnr_dev"]) < 0.3
