@@ -149,18 +149,34 @@ class DevicePrefetcher:
         self.ori_loader = loader
         self.device_keys = device_keys
         self.sharding = sharding
-        self._put = (lambda x: jax.device_put(x, sharding)) if sharding is not None else jax.device_put
+        if sharding is not None and jax.process_count() > 1:
+            # multi-host: each host's batch is its local shard of the global
+            # array (EnlargedSampler already stride-shards indices per host)
+            self._put = lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        elif sharding is not None:
+            self._put = lambda x: jax.device_put(x, sharding)
+        else:
+            self._put = jax.device_put
         self.reset()
 
     def _stage(self, batch):
+        import jax
+
         if batch is None:
             return None
+
+        def put(x):
+            x = np.asarray(x)
+            if self.sharding is not None and x.shape[0] % max(1, len(self.sharding.device_set)) != 0:
+                return jax.device_put(x)  # indivisible batch: replicate-free plain put
+            return self._put(x)
+
         staged = dict(batch)
         for k in self.device_keys:
             if k in staged:
-                staged[k] = self._put(staged[k])
+                staged[k] = put(staged[k])
         if "dataset_idx" in staged:
-            staged["dataset_idx"] = self._put(np.asarray(staged["dataset_idx"]))
+            staged["dataset_idx"] = put(staged["dataset_idx"])
         return staged
 
     def _worker(self):

@@ -176,7 +176,11 @@ def train_pipeline(root_path: str, args=None):
     for epoch in range(start_epoch, total_epochs + 1):
         train_sampler.set_epoch(epoch)
         if prefetch_mode == "device":
-            prefetcher = DevicePrefetcher(train_loader)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            mesh = model.mesh
+            sharding = NamedSharding(mesh, P("data")) if "data" in mesh.axis_names else None
+            prefetcher = DevicePrefetcher(train_loader, sharding=sharding)
         else:
             prefetcher = CPUPrefetcher(train_loader)
         train_data = prefetcher.next()
