@@ -244,32 +244,33 @@ class SRModel(BaseModel):
         self.output = self._apply(self._infer_params(), self.lq)
 
     def test_selfensemble(self) -> None:
-        """×8 dihedral test-time ensemble, fully on device (sr_model.py:187-232)."""
+        """×8 dihedral test-time ensemble, fully on device (sr_model.py:187-232).
+
+        For square inputs the 8 augments run as ONE batched forward (8× batch)
+        — a single MXU-saturating launch instead of 8 small ones; non-square
+        inputs fall back to two batched passes (4 flips × {plain, transposed}).
+        """
         params = self._infer_params()
 
-        def fwd_t(x, transposed):
-            out = self._apply(params, x)
-            return out.transpose(0, 2, 1, 3) if transposed else out
+        def flips(x):
+            return [x, jnp.flip(x, 2), jnp.flip(x, 1), jnp.flip(jnp.flip(x, 1), 2)]
 
-        outs = []
-        for t in (False, True):
-            base = self.lq.transpose(0, 2, 1, 3) if t else self.lq
-            for fh in (False, True):
-                for fv in (False, True):
-                    x = base
-                    if fh:
-                        x = jnp.flip(x, axis=2)
-                    if fv:
-                        x = jnp.flip(x, axis=1)
-                    y = self._apply(params, x)
-                    if fv:
-                        y = jnp.flip(y, axis=1)
-                    if fh:
-                        y = jnp.flip(y, axis=2)
-                    if t:
-                        y = y.transpose(0, 2, 1, 3)
-                    outs.append(y)
-        self.output = jnp.mean(jnp.stack(outs, axis=0), axis=0)
+        def unflips(ys):
+            return [ys[0], jnp.flip(ys[1], 2), jnp.flip(ys[2], 1), jnp.flip(jnp.flip(ys[3], 1), 2)]
+
+        b = self.lq.shape[0]
+        plain = flips(self.lq)
+        trans = flips(self.lq.transpose(0, 2, 1, 3))
+        if self.lq.shape[1] == self.lq.shape[2]:
+            batch = jnp.concatenate(plain + trans, axis=0)
+            out = self._apply(params, batch)
+            ys = [out[i * b : (i + 1) * b] for i in range(8)]
+        else:
+            out_p = self._apply(params, jnp.concatenate(plain, axis=0))
+            out_t = self._apply(params, jnp.concatenate(trans, axis=0))
+            ys = [out_p[i * b : (i + 1) * b] for i in range(4)] + [out_t[i * b : (i + 1) * b] for i in range(4)]
+        ys = unflips(ys[:4]) + [y.transpose(0, 2, 1, 3) for y in unflips(ys[4:])]
+        self.output = jnp.mean(jnp.stack(ys, axis=0), axis=0)
 
     def test_tile(self) -> None:
         """Halo-padded tiling for large inputs (sr_model.py:273-361)."""

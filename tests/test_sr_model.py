@@ -215,3 +215,44 @@ class TestDeviceMetricsValidation:
         model.nondist_validation(loader, 1, None, save_img=False)
         # quantized host PSNR and float device PSNR agree within rounding effects
         assert abs(model.metric_results["psnr"] - model.metric_results["psnr_dev"]) < 0.3
+
+
+class TestSelfEnsembleCorrectness:
+    def test_ensemble_equals_sequential_reference(self, train_model, rng):
+        """Batched dihedral ensemble == mean of 8 individually augmented passes."""
+        import jax.numpy as jnp
+
+        model, *_ = train_model
+        x = rng.random((1, 12, 12, 3)).astype(np.float32)
+        model.feed_data({"lq": x})
+        model.test_selfensemble()
+        batched = np.asarray(model.output)
+
+        params = model._infer_params()
+        outs = []
+        xj = jnp.asarray(x)
+        for t in (False, True):
+            base = xj.transpose(0, 2, 1, 3) if t else xj
+            for fh in (False, True):
+                for fv in (False, True):
+                    a = base
+                    if fh:
+                        a = jnp.flip(a, 2)
+                    if fv:
+                        a = jnp.flip(a, 1)
+                    y = model._apply(params, a)
+                    if fv:
+                        y = jnp.flip(y, 1)
+                    if fh:
+                        y = jnp.flip(y, 2)
+                    if t:
+                        y = y.transpose(0, 2, 1, 3)
+                    outs.append(y)
+        sequential = np.asarray(jnp.mean(jnp.stack(outs), axis=0))
+        np.testing.assert_allclose(batched, sequential, atol=1e-5)
+
+    def test_nonsquare_input(self, train_model, rng):
+        model, *_ = train_model
+        model.feed_data({"lq": rng.random((1, 12, 16, 3)).astype(np.float32)})
+        model.test_selfensemble()
+        assert model.output.shape == (1, 12, 16, 3)
