@@ -1,0 +1,89 @@
+"""test_pipeline smoke across all restoration arch families (tiny dims)."""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+NETWORKS = {
+    "NAFNetBaseline": """
+network_g:
+  type: NAFNetBaseline
+  width: 8
+  enc_blk_nums: [1, 1]
+  middle_blk_num: 1
+  dec_blk_nums: [1, 1]
+  window_size: 4
+""",
+    "Restormer": """
+network_g:
+  type: Restormer
+  dim: 8
+  num_blocks: [1, 1, 1, 1]
+  num_refinement_blocks: 1
+  heads: [1, 2, 2, 4]
+  window_size: 8
+""",
+    "SwinIR": """
+network_g:
+  type: SwinIR
+  img_size: 16
+  embed_dim: 16
+  depths: [1, 1, 1, 1, 1, 1]
+  num_heads: [2, 2, 2, 2, 2, 2]
+  mlp_ratio: 2.0
+  window_size: 8
+  upscale: 1
+""",
+    "PromptIR": """
+network_g:
+  type: PromptIR
+  dim: 48
+  num_blocks: [1, 1, 1, 1]
+  num_refinement_blocks: 1
+  heads: [1, 2, 4, 8]
+  window_size: 8
+""",
+}
+
+
+@pytest.mark.parametrize("arch", list(NETWORKS))
+def test_pipeline_arch(arch, tmp_path):
+    gt_dir = tmp_path / "gt"
+    lq_dir = tmp_path / "lq"
+    gt_dir.mkdir()
+    lq_dir.mkdir()
+    rng = np.random.default_rng(1)
+    img = (rng.random((24, 24, 3)) * 255).astype(np.uint8)
+    cv2.imwrite(str(gt_dir / "a.png"), img)
+    cv2.imwrite(str(lq_dir / "a.png"), cv2.GaussianBlur(img, (3, 3), 1))
+
+    yml = tmp_path / f"test_{arch}.yml"
+    yml.write_text(
+        f"""
+name: smoke_{arch}
+model_type: SRModel
+scale: 1
+num_gpu: 0
+manual_seed: 0
+datasets:
+  test_1:
+    name: S
+    type: PairedImageDataset
+    dataroot_gt: {gt_dir}
+    dataroot_lq: {lq_dir}
+    io_backend: {{type: disk}}
+{NETWORKS[arch]}
+path: {{}}
+val:
+  save_img: false
+  suffix: ~
+  metrics:
+    psnr: {{type: calculate_psnr, crop_border: 0, image_range: 255.0}}
+"""
+    )
+    from dcpt_tpu.test import test_pipeline
+
+    results = test_pipeline(str(tmp_path), args=["-opt", str(yml)])
+    assert 0 < results["S"]["psnr"] < 100
