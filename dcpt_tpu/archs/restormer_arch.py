@@ -249,7 +249,7 @@ _COMMON_RENAMES = [
     (_re.compile(r"^patch_embed\.proj\."), r"patch_embed."),
     (_re.compile(r"^output\.(\d+)\."), r"output_\1."),
 ]
-_SEQ_BODY = re_seq = _re.compile(r"^(encoder_level\d|latent|decoder_level\d|refinement)\.body\.(\d+)\.")
+_SEQ_BODY = _re.compile(r"^(encoder_level\d|latent|decoder_level\d|refinement)\.body\.(\d+)\.")
 _SEQ_PLAIN = _re.compile(r"^(encoder_level\d|latent|decoder_level\d|refinement)\.(\d+)\.")
 
 
