@@ -237,6 +237,24 @@ class BaseModel:
                 loaded = merge(init_params, loaded)
         return jax.tree_util.tree_map(jnp.asarray, loaded)
 
+    @staticmethod
+    def pack_state(pytree) -> dict:
+        """Optimizer states contain namedtuples orbax restores as plain dicts;
+        serialize as an ordered leaves list and rebuild with the live treedef."""
+        leaves = jax.tree_util.tree_leaves(pytree)
+        return {f"leaf_{i:04d}": np.asarray(l) for i, l in enumerate(leaves)}
+
+    @staticmethod
+    def unpack_state(live_pytree, packed: dict):
+        leaves = [packed[k] for k in sorted(packed.keys())]
+        treedef = jax.tree_util.tree_structure(live_pytree)
+        live_leaves = jax.tree_util.tree_leaves(live_pytree)
+        assert len(leaves) == len(live_leaves), (
+            f"resume state has {len(leaves)} leaves, live optimizer has {len(live_leaves)}"
+        )
+        leaves = [jnp.asarray(n, dtype=jnp.asarray(o).dtype) for n, o in zip(leaves, live_leaves)]
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
     def save_training_state(self, epoch: int, current_iter: int, state: dict) -> None:
         """Orbax save of {epoch, iter, opt_states…} (reference: base_model.py:371-411).
 

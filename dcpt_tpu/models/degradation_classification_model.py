@@ -215,12 +215,8 @@ class DCModel(BaseModel):
         if self.params_dc_ema is not None:
             trees["params_ema"] = self.params_dc_ema
         self.save_network(trees, "net_dc", current_iter)
-        self.save_training_state(epoch, current_iter, {"opt_state_dc": self.opt_state_dc})
+        self.save_training_state(epoch, current_iter, {"opt_state_dc": self.pack_state(self.opt_state_dc)})
 
     def resume_training(self, resume_state: dict) -> None:
         if "opt_state_dc" in resume_state:
-            self.opt_state_dc = jax.tree_util.tree_map(
-                lambda ref, new: jnp.asarray(new, dtype=jnp.asarray(ref).dtype),
-                self.opt_state_dc,
-                resume_state["opt_state_dc"],
-            )
+            self.opt_state_dc = self.unpack_state(self.opt_state_dc, resume_state["opt_state_dc"])

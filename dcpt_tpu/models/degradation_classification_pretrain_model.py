@@ -104,21 +104,15 @@ class DCPTModel(DCModel):
         self.save_network({"params": self.params_g}, "net_g", current_iter)
         self.save_network({"params": self.params_dc}, "net_dc", current_iter)
         self.save_training_state(
-            epoch, current_iter, {"opt_state_g": self.opt_state_g, "opt_state_dc": self.opt_state_dc}
+            epoch,
+            current_iter,
+            {"opt_state_g": self.pack_state(self.opt_state_g), "opt_state_dc": self.pack_state(self.opt_state_dc)},
         )
 
     def resume_training(self, resume_state: dict) -> None:
         for name in ("opt_state_g", "opt_state_dc"):
             if name in resume_state:
-                setattr(
-                    self,
-                    name,
-                    jax.tree_util.tree_map(
-                        lambda ref, new: jnp.asarray(new, dtype=jnp.asarray(ref).dtype),
-                        getattr(self, name),
-                        resume_state[name],
-                    ),
-                )
+                setattr(self, name, self.unpack_state(getattr(self, name), resume_state[name]))
 
 
 @MODEL_REGISTRY.register()

@@ -480,11 +480,8 @@ class SRModel(BaseModel):
         if self.params_g_ema is not None:
             trees["params_ema"] = self.params_g_ema
         self.save_network(trees, "net_g", current_iter)
-        self.save_training_state(epoch, current_iter, {"opt_state_g": self.opt_state_g})
+        self.save_training_state(epoch, current_iter, {"opt_state_g": self.pack_state(self.opt_state_g)})
 
     def resume_training(self, resume_state: dict) -> None:
         if "opt_state_g" in resume_state:
-            restored = resume_state["opt_state_g"]
-            self.opt_state_g = jax.tree_util.tree_map(
-                lambda ref, new: jnp.asarray(new, dtype=jnp.asarray(ref).dtype), self.opt_state_g, restored
-            )
+            self.opt_state_g = self.unpack_state(self.opt_state_g, resume_state["opt_state_g"])

@@ -1,0 +1,116 @@
+"""Checkpoint / resume: training-state round-trip, check_resume rewiring,
+EMA param-key fallback."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+class TestTrainingStateRoundtrip:
+    def test_save_and_resume_opt_state(self, tmp_path, rng):
+        from dcpt_tpu.models import build_model
+
+        opt = {
+            "name": "resume", "model_type": "SRModel", "scale": 1, "num_gpu": 1, "manual_seed": 0,
+            "is_train": True, "dist": False, "rank": 0, "world_size": 1,
+            "network_g": {"type": "NAFNetBaseline", "width": 8, "enc_blk_nums": (1,), "middle_blk_num": 1, "dec_blk_nums": (1,), "h": 16},
+            "path": {
+                "models": str(tmp_path / "models"), "training_states": str(tmp_path / "states"),
+                "visualization": str(tmp_path / "vis"), "log": str(tmp_path),
+            },
+            "train": {
+                "optim_g": {"type": "Adam", "lr": 1e-3},
+                "scheduler": {"type": "MultiStepRestartLR", "milestones": [100]},
+                "pixel_opt": {"type": "L1Loss"}, "total_iter": 10,
+            },
+            "val": {"metrics": {"psnr": {"type": "calculate_psnr", "crop_border": 0, "image_range": 255.0}}},
+        }
+        model = build_model(opt)
+        lq = rng.random((1, 16, 16, 3)).astype(np.float32)
+        gt = np.clip(lq + 0.02, 0, 1).astype(np.float32)
+        for it in range(1, 4):
+            model.update_learning_rate(it)
+            model.feed_data({"lq": lq, "gt": gt})
+            model.optimize_parameters(it)
+        model.save(epoch=0, current_iter=3)
+
+        state_path = os.path.join(opt["path"]["training_states"], "3.state")
+        assert os.path.exists(state_path)
+
+        model2 = build_model(dict(opt))
+        restored = model2.resume_training_state(state_path)
+        assert int(restored["iter"]) == 3
+        model2.resume_training(restored)
+        model2.params_g = model2.load_network_params(
+            model2.net_g, os.path.join(opt["path"]["models"], "net_g_3.npz"), True, "params",
+            init_params=model2.params_g,
+        )
+
+        # both models take the same next step and agree
+        for m in (model, model2):
+            m.update_learning_rate(4)
+            m.feed_data({"lq": lq, "gt": gt})
+            m.optimize_parameters(4)
+        a = np.concatenate([np.ravel(np.asarray(x)) for x in jax.tree_util.tree_leaves(model.params_g)])
+        b = np.concatenate([np.ravel(np.asarray(x)) for x in jax.tree_util.tree_leaves(model2.params_g)])
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_checkpoint_retention(self, tmp_path, rng):
+        from dcpt_tpu.models import build_model
+
+        opt = {
+            "name": "ret", "model_type": "SRModel", "scale": 1, "num_gpu": 1, "manual_seed": 0,
+            "is_train": True, "dist": False, "rank": 0, "world_size": 1,
+            "network_g": {"type": "NAFNetBaseline", "width": 8, "enc_blk_nums": (1,), "middle_blk_num": 1, "dec_blk_nums": (1,), "h": 16},
+            "path": {
+                "models": str(tmp_path / "models"), "training_states": str(tmp_path / "states"),
+                "visualization": str(tmp_path / "vis"), "log": str(tmp_path),
+            },
+            "train": {
+                "optim_g": {"type": "Adam", "lr": 1e-3},
+                "scheduler": {"type": "MultiStepRestartLR", "milestones": [100]},
+                "pixel_opt": {"type": "L1Loss"}, "total_iter": 10,
+            },
+            "logger": {"keep_checkpoints": 2},
+            "val": {"metrics": {"psnr": {"type": "calculate_psnr", "crop_border": 0, "image_range": 255.0}}},
+        }
+        model = build_model(opt)
+        for it in (1, 2, 3):
+            model.save(epoch=0, current_iter=it)
+        states = [f for f in os.listdir(opt["path"]["training_states"]) if f.endswith(".state")]
+        assert sorted(states) == ["2.state", "3.state"]
+
+
+class TestCheckResume:
+    def test_rewires_pretrain_paths(self, tmp_path):
+        from dcpt_tpu.utils.misc import check_resume
+
+        opt = {
+            "path": {
+                "resume_state": str(tmp_path / "5.state"),
+                "models": str(tmp_path / "models"),
+                "pretrain_network_g": "something_else.pth",
+                "param_key_g": "params_ema",
+            },
+            "network_g": {"type": "NAFNetBaseline"},
+        }
+        check_resume(opt, 5)
+        assert opt["path"]["pretrain_network_g"].endswith("net_g_5")
+        assert opt["path"]["param_key_g"] == "params"  # EMA→params switch on resume
+
+
+class TestEmaFallback:
+    def test_params_ema_falls_back_to_params(self, tmp_path):
+        from dcpt_tpu.utils.tree_io import save_tree_npz
+
+        from dcpt_tpu.models.base_model import BaseModel
+
+        path = str(tmp_path / "net.npz")
+        save_tree_npz(path, {"params": {"w": np.ones(3)}})
+        bm = BaseModel({"is_train": False, "rank": 0})
+        loaded = bm.load_network_params(None, path, True, "params_ema")
+        np.testing.assert_array_equal(np.asarray(loaded["w"]), np.ones(3))
