@@ -51,9 +51,19 @@ def _install_stubs() -> None:
         std = torch.as_tensor(std, dtype=tensor.dtype).view(-1, 1, 1)
         return tensor.sub_(mean).div_(std)
 
+    def _rgb_to_grayscale(img, num_output_channels=1):
+        # ITU-R 601-2 luma transform, matching torchvision
+        w = torch.tensor([0.2989, 0.587, 0.114], dtype=img.dtype).view(3, 1, 1)
+        gray = (img * w).sum(dim=-3, keepdim=True)
+        if num_output_channels == 3:
+            gray = gray.expand(img.shape)
+        return gray
+
     tvt = _stub("torchvision.transforms")
     tvt.__path__ = []
-    tvtf = _stub("torchvision.transforms.functional", normalize=_normalize)
+    tvtf = _stub(
+        "torchvision.transforms.functional", normalize=_normalize, rgb_to_grayscale=_rgb_to_grayscale
+    )
     tv.transforms = tvt
     tvt.functional = tvtf
 
