@@ -1,0 +1,66 @@
+"""Training-stack convergence: a tiny NAFNet must actually learn denoising.
+
+End-to-end proof that the optimizer/scheduler/EMA/loss plumbing optimizes —
+train on synthetic Gaussian-noise pairs and require a PSNR gain over the
+identity baseline on held-out data.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+class TestConvergence:
+    def test_nafnet_learns_denoising(self, tmp_path, rng):
+        from dcpt_tpu.models import build_model
+
+        opt = {
+            "name": "conv", "model_type": "SRModel", "scale": 1, "num_gpu": 1, "manual_seed": 0,
+            "is_train": True, "dist": False, "rank": 0, "world_size": 1,
+            "network_g": {"type": "NAFNetBaseline", "width": 16, "enc_blk_nums": (1, 1), "middle_blk_num": 1, "dec_blk_nums": (1, 1), "h": 32},
+            "path": {
+                "models": str(tmp_path), "training_states": str(tmp_path), "visualization": str(tmp_path), "log": str(tmp_path),
+            },
+            "train": {
+                "ema_decay": 0.99,
+                "optim_g": {"type": "Adam", "lr": 2e-3},
+                "scheduler": {"type": "CosineAnnealingRestartLR", "periods": [150], "restart_weights": [1], "eta_min": 1e-5},
+                "pixel_opt": {"type": "PSNRLoss"},
+                "total_iter": 150,
+            },
+            "val": {"metrics": {"psnr": {"type": "calculate_psnr", "crop_border": 0, "image_range": 255.0}}},
+        }
+        model = build_model(opt)
+
+        # smooth synthetic "images": random low-frequency fields
+        def make_batch(seed, b=4):
+            r = np.random.default_rng(seed)
+            base = r.random((b, 8, 8, 3)).astype(np.float32)
+            gt = np.stack([np.kron(base[i], np.ones((4, 4, 1)))[:32, :32] for i in range(b)])
+            import scipy.ndimage as ndi
+
+            gt = ndi.gaussian_filter(gt, sigma=(0, 2, 2, 0)).astype(np.float32)
+            lq = np.clip(gt + r.normal(0, 25 / 255, gt.shape), 0, 1).astype(np.float32)
+            return lq, gt
+
+        for it in range(1, 121):
+            lq, gt = make_batch(it)
+            model.update_learning_rate(it)
+            model.feed_data({"lq": lq, "gt": gt})
+            model.optimize_parameters(it)
+
+        lq, gt = make_batch(10_000)  # held out
+        model.feed_data({"lq": lq})
+        model.test()
+        out = np.clip(np.asarray(model.output), 0, 1)
+
+        def psnr(a, b):
+            return 10 * np.log10(1.0 / np.mean((a - b) ** 2))
+
+        noisy_psnr = psnr(lq, gt)
+        denoised_psnr = psnr(out, gt)
+        assert denoised_psnr > noisy_psnr + 2.0, (
+            f"training failed to learn: noisy {noisy_psnr:.2f} dB → denoised {denoised_psnr:.2f} dB"
+        )
