@@ -13,6 +13,8 @@ back to plain substring selection.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -78,7 +80,7 @@ class DCDistModel(SRModel):
         ema_decay = self.ema_decay
         select = self._select
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0, 2, 3))
         def step(params_g, params_dc, ema, opt_state, lq, gt, dataset_idx, lr):
             def loss_fn(pg):
                 losses = {}

@@ -8,6 +8,7 @@ with CE/Focal loss on ``dataset_idx``; validation is top-1 accuracy.
 
 from __future__ import annotations
 
+import functools
 from collections import OrderedDict
 
 import numpy as np
@@ -103,7 +104,7 @@ class DCModel(BaseModel):
         tx = self.optimizer_dc
         ema_decay = self.ema_decay
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
         def step(params_g, params_dc, opt_state, ema, lq, dataset_idx, lr):
             # frozen encoder, detached features (…model.py:94-97,123-128)
             _, taps = net_g.apply({"params": params_g}, lq, skip_tail=True)

@@ -13,6 +13,8 @@ One jitted step fuses the reference's two-pass scheme (:133-169):
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -61,7 +63,7 @@ class DCPTModel(DCModel):
         tx_g, tx_dc = self.optimizer_g, self.optimizer_dc
         pixel_input = self._pixel_input
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
         def step(params_g, params_dc, opt_g, opt_dc, lq, gt, dataset_idx, lr_g, lr_dc):
             def loss_fn(pg, pdc):
                 losses = {}

@@ -140,7 +140,9 @@ class SRModel(BaseModel):
         # losses and the optimizer update stay fp32
         mixed = (self.opt.get("train") or {}).get("mixed_precision", False)
 
-        @jax.jit
+        # donate params/ema/opt_state buffers: the step consumes and replaces
+        # them, halving peak HBM for the update
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
         def step(params, ema, opt_state, lq, gt, lr):
             def loss_fn(p):
                 if mixed:

@@ -171,6 +171,17 @@ def parse_options(root_path: str, is_train: bool = True, args: list[str] | None 
 
     _resolve_num_devices(opt)
 
+    # persistent XLA compilation cache (TPU compiles are expensive; repeated
+    # harness runs reuse them). Override dir via compilation_cache_dir in yml.
+    cache_dir = opt.get("compilation_cache_dir", os.environ.get("DCPT_TPU_COMPILE_CACHE", "~/.cache/dcpt_tpu_xla"))
+    if cache_dir:
+        try:
+            import jax
+
+            jax.config.update("jax_compilation_cache_dir", osp.expanduser(cache_dir))
+        except Exception:  # older jax or unavailable backend
+            pass
+
     # datasets
     for phase, dataset in (opt.get("datasets") or {}).items():
         phase_key = phase.split("_")[0]
