@@ -64,3 +64,50 @@ class TestConvergence:
         assert denoised_psnr > noisy_psnr + 2.0, (
             f"training failed to learn: noisy {noisy_psnr:.2f} dB → denoised {denoised_psnr:.2f} dB"
         )
+
+
+class TestDCPTConvergence:
+    def test_classifier_learns_degradation_types(self, tmp_path, rng):
+        """DCPT joint step: the probe must learn to separate two distinguishable
+        degradations (heavy noise vs heavy blur-free darkening) well above chance."""
+        from dcpt_tpu.models import build_model
+        from dcpt_tpu.models.dc_util import accuracy_topk
+
+        opt = {
+            "name": "dcpt_conv", "model_type": "DCPTModel", "scale": 1, "num_gpu": 1, "manual_seed": 0,
+            "is_train": True, "dist": False, "rank": 0, "world_size": 1, "hook_names": "ups",
+            "network_g": {"type": "NAFNetBaseline", "width": 8, "enc_blk_nums": (1, 1), "middle_blk_num": 1, "dec_blk_nums": (1, 1), "h": 16},
+            "network_dc": {"type": "PromptIR_NoImg_DC", "feature_dims": (8, 16), "num_res_blocks": 1, "num_classes": 2},
+            "path": {"models": str(tmp_path), "training_states": str(tmp_path), "visualization": str(tmp_path), "log": str(tmp_path)},
+            "train": {
+                "optim_g": {"type": "Adam", "lr": 1e-3},
+                "optim_dc": {"type": "Adam", "lr": 2e-3},
+                "scheduler": {"type": "CosineAnnealingRestartLR", "periods": [100], "restart_weights": [1]},
+                "pixel_opt": {"type": "L1Loss"},
+                "classify_opt": {"type": "CrossEntropyLoss"},
+                "total_iter": 100,
+            },
+            "val": {"metrics": {"psnr": {"type": "calculate_psnr", "crop_border": 0, "image_range": 255.0}}},
+        }
+        model = build_model(opt)
+
+        def make_batch(seed, b=8):
+            r = np.random.default_rng(seed)
+            gt = r.random((b, 16, 16, 3)).astype(np.float32) * 0.5 + 0.25
+            idx = r.integers(0, 2, b)
+            lq = gt.copy()
+            noise = r.normal(0, 50 / 255, gt.shape).astype(np.float32)
+            lq = np.where(idx[:, None, None, None] == 0, np.clip(gt + noise, 0, 1), gt * 0.3)
+            return lq.astype(np.float32), gt, idx
+
+        for it in range(1, 81):
+            lq, gt, idx = make_batch(it)
+            model.update_learning_rate(it)
+            model.feed_data({"lq": lq, "gt": gt, "dataset_idx": idx})
+            model.optimize_parameters(it)
+
+        lq, gt, idx = make_batch(9999, b=16)
+        model.feed_data({"lq": lq, "gt": gt, "dataset_idx": idx})
+        logits = model.classify(model.params_dc)
+        acc = float(accuracy_topk(logits, jnp.asarray(idx))[0])
+        assert acc >= 85.0, f"DCPT classifier accuracy only {acc:.1f}%"
