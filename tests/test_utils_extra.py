@@ -125,3 +125,26 @@ class TestKnnPipeline:
 
         clf = KNeighborsClassifier(3).fit(feats, labels)
         assert clf.score(feats, labels) >= 0.5
+
+
+class TestFlowUtil:
+    def test_flo_roundtrip(self, tmp_path, rng):
+        from dcpt_tpu.utils.flow_util import flowread, flowwrite
+
+        flow = rng.standard_normal((12, 16, 2)).astype(np.float32)
+        path = str(tmp_path / "a.flo")
+        flowwrite(flow, path)
+        back = flowread(path)
+        np.testing.assert_array_equal(back, flow)
+
+    def test_quantize_matches_reference(self, reference, rng):
+        from basicsr.utils.flow_util import dequantize_flow as ref_deq, quantize_flow as ref_q
+
+        from dcpt_tpu.utils.flow_util import dequantize_flow, quantize_flow
+
+        flow = (rng.standard_normal((8, 10, 2)) * 0.01).astype(np.float64)
+        ours_dx, ours_dy = quantize_flow(flow)
+        ref_dx, ref_dy = ref_q(flow)
+        np.testing.assert_array_equal(ours_dx, ref_dx)
+        np.testing.assert_array_equal(ours_dy, ref_dy)
+        np.testing.assert_allclose(dequantize_flow(ours_dx, ours_dy), ref_deq(ref_dx, ref_dy), atol=1e-12)
