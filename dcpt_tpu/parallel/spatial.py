@@ -27,6 +27,35 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def spatial_mdta(q, k, v, temperature, axis: str, use_softmax: bool = False, interior: slice | None = None):
+    """EXACT context-parallel MDTA for pixel-sharded shards (call under shard_map).
+
+    Transposed channel attention is linear in pixels: the C×C Gram and the
+    q/k squared norms are sums over the pixel axis, so sharding L costs one
+    O(C²) ``psum`` — no ring, no halo, no activation exchange (contrast with
+    token attention, which needs ring/all-gather of K/V).  ``attn @ v`` is
+    pixel-local, so the output shard needs nothing further.
+
+    q, k, v: (BH, c, L_local).  ``interior`` optionally restricts the Gram
+    accumulation to a pixel sub-range (use when shards carry conv halos, so
+    overlap pixels aren't double-counted).
+    """
+    import jax.numpy as jnp
+
+    qi = q[:, :, interior] if interior is not None else q
+    ki = k[:, :, interior] if interior is not None else k
+
+    gram = jax.lax.psum(jnp.einsum("bcl,bdl->bcd", qi, ki), axis)
+    qn2 = jax.lax.psum(jnp.sum(qi * qi, axis=-1, keepdims=True), axis)
+    kn2 = jax.lax.psum(jnp.sum(ki * ki, axis=-1, keepdims=True), axis)
+
+    inv_q = jax.lax.rsqrt(jnp.maximum(qn2, 1e-24))
+    inv_k = jax.lax.rsqrt(jnp.maximum(kn2, 1e-24))
+    attn = gram * inv_q * jnp.swapaxes(inv_k, 1, 2) * temperature.reshape(q.shape[0], 1, 1)
+    attn = jax.nn.softmax(attn, axis=-1) if use_softmax else jax.nn.relu(attn)
+    return jnp.einsum("bcd,bdl->bcl", attn, v)
+
+
 def spatial_sharded_apply(forward_fn, params, x: jax.Array, mesh: Mesh, halo: int, axis: str = "data", scale: int = 1):
     """Run ``forward_fn(params, x_slice)`` H-sharded over ``axis`` with halo exchange.
 
