@@ -65,8 +65,10 @@ def spatial_sharded_apply(forward_fn, params, x: jax.Array, mesh: Mesh, halo: in
     b, h, w, c = x.shape
     assert h % n == 0, f"H={h} must divide over {n} shards"
 
+    batch_axis = next((a for a in mesh.axis_names if a != axis), None)
+
     def shard_fn(params, xl):
-        # xl: (B, H/n, W, C) local slice
+        # xl: (B[/data], H/n, W, C) local slice
         idx = jax.lax.axis_index(axis)
         up = [(i, (i - 1) % n) for i in range(n)]  # send to previous → receive from next
         down = [(i, (i + 1) % n) for i in range(n)]  # send to next → receive from previous
@@ -85,13 +87,15 @@ def spatial_sharded_apply(forward_fn, params, x: jax.Array, mesh: Mesh, halo: in
         out = forward_fn(params, padded)
         return out[:, halo * scale : out.shape[1] - halo * scale]
 
+    # 2-D meshes: batch over the other axis (DP × SP), H over `axis`
+    x_spec = P(batch_axis, axis) if batch_axis else P(None, axis)
     shard = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(None, axis)),
-        out_specs=P(None, axis),
+        in_specs=(P(), x_spec),
+        out_specs=x_spec,
         check_vma=False,
     )
-    x = jax.device_put(x, NamedSharding(mesh, P(None, axis)))
+    x = jax.device_put(x, NamedSharding(mesh, x_spec))
     params = jax.device_put(params, NamedSharding(mesh, P()))
     return shard(params, x)
