@@ -108,7 +108,7 @@ def create_train_val_dataloader(opt, logger):
 def load_resume_state(opt):
     resume_state_path = None
     if opt["auto_resume"]:
-        state_path = osp.join("experiments", opt["name"], "training_states")
+        state_path = opt["path"]["training_states"]
         if osp.isdir(state_path):
             states = [v for v in os.listdir(state_path) if v.endswith(".state")]
             if states:

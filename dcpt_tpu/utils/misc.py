@@ -92,7 +92,8 @@ def check_resume(opt: dict, resume_iter: int) -> None:
         if opt["path"].get("ignore_resume_networks") is None or (
             network not in opt["path"]["ignore_resume_networks"]
         ):
-            opt["path"][name] = osp.join(opt["path"]["models"], f"net_{basename}_{resume_iter}")
+            # our snapshots are .npz (the reference's were .pth)
+            opt["path"][name] = osp.join(opt["path"]["models"], f"net_{basename}_{resume_iter}.npz")
             print(f"Set {name} to {opt['path'][name]}", flush=True)
         param_key = f"param_key_{basename}"
         if opt["path"].get(param_key) == "params_ema":

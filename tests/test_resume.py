@@ -99,7 +99,7 @@ class TestCheckResume:
             "network_g": {"type": "NAFNetBaseline"},
         }
         check_resume(opt, 5)
-        assert opt["path"]["pretrain_network_g"].endswith("net_g_5")
+        assert opt["path"]["pretrain_network_g"].endswith("net_g_5.npz")
         assert opt["path"]["param_key_g"] == "params"  # EMA→params switch on resume
 
 
@@ -114,3 +114,70 @@ class TestEmaFallback:
         bm = BaseModel({"is_train": False, "rank": 0})
         loaded = bm.load_network_params(None, path, True, "params_ema")
         np.testing.assert_array_equal(np.asarray(loaded["w"]), np.ones(3))
+
+
+class TestAutoResumePipeline:
+    def test_train_pipeline_auto_resumes(self, tmp_path):
+        """Run 4 iters, then auto-resume and continue to 8."""
+        import cv2
+
+        gt_dir = os.path.join(str(tmp_path), "gt")
+        os.makedirs(gt_dir, exist_ok=True)
+        r = np.random.default_rng(0)
+        for i in range(4):
+            cv2.imwrite(os.path.join(gt_dir, f"{i}.png"), (r.random((24, 24, 3)) * 255).astype(np.uint8))
+
+        yml = tmp_path / "t.yml"
+        yml.write_text(f"""
+name: auto_resume_run
+model_type: SRModel
+scale: 1
+num_gpu: 0
+manual_seed: 0
+datasets:
+  train:
+    name: d
+    type: PairedImageDenoiseDataset
+    phase: train
+    dataroot_gt: {gt_dir}
+    io_backend: {{type: disk}}
+    sigma_type: constant
+    sigma_range: 25
+    gt_size: 16
+    use_hflip: true
+    use_rot: true
+    batch_size_per_gpu: 2
+    num_worker_per_gpu: 0
+network_g:
+  type: NAFNetBaseline
+  width: 8
+  enc_blk_nums: [1]
+  middle_blk_num: 1
+  dec_blk_nums: [1]
+  h: 16
+path: {{}}
+train:
+  total_iter: 4
+  optim_g: {{type: Adam, lr: 1.0e-3}}
+  scheduler: {{type: MultiStepRestartLR, milestones: [100]}}
+  pixel_opt: {{type: L1Loss}}
+logger:
+  print_freq: 10
+  save_checkpoint_freq: 4
+  use_tb_logger: false
+""")
+        from dcpt_tpu.train import train_pipeline
+
+        cwd = os.getcwd()
+        os.chdir(tmp_path)
+        try:
+            train_pipeline(str(tmp_path), args=["-opt", str(yml)])
+            states = tmp_path / "experiments" / "auto_resume_run" / "training_states"
+            assert (states / "4.state").exists()
+
+            # bump total_iter and auto-resume
+            yml.write_text(yml.read_text().replace("total_iter: 4", "total_iter: 8"))
+            model = train_pipeline(str(tmp_path), args=["-opt", str(yml), "--auto_resume"])
+            assert (states / "8.state").exists()
+        finally:
+            os.chdir(cwd)
