@@ -115,6 +115,32 @@ class LayerNorm2d(nn.Module):
         return y * weight + bias
 
 
+class _ConvParamHolder(nn.Module):
+    """Declares 1×1-conv params (kernel HWIO + bias) without running the conv —
+    lets fused Pallas paths share the exact param tree of an ``nn.Conv``."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", torch_conv_kernel_init, (1, 1, self.in_features, self.features))
+        bias = self.param("bias", torch_bias_init(self.in_features), (self.features,))
+        return kernel, bias
+
+
+class _NormParamHolder(nn.Module):
+    """LayerNorm2d's (weight, bias) params without the compute."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self):
+        weight = self.param("weight", nn.initializers.ones, (self.channels,))
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        return weight, bias
+
+
 # ---------------------------------------------------------------------------
 # TLSC local pooling (test-time local statistics conversion)
 # ---------------------------------------------------------------------------

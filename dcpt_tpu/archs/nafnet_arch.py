@@ -73,13 +73,29 @@ class NAFBlock(nn.Module):
         beta = self.param("beta", nn.initializers.zeros, (1, 1, 1, c))
         y = inp + x * beta
 
+        gamma = self.param("gamma", nn.initializers.zeros, (1, 1, 1, c))
+
+        from ..ops import pallas_enabled
+
+        if pallas_enabled() and self.drop_out_rate == 0 and c % 128 == 0 and c <= 512:
+            # fused FFN branch (LN → expand → gate → project → residual) in one
+            # VMEM pass; param tree identical to the module path below
+            from ..ops.naf_ffn import naf_ffn
+            from .arch_util import _ConvParamHolder, _NormParamHolder
+
+            ln_w, ln_b = _NormParamHolder(c, name="norm2")()
+            w4, b4 = _ConvParamHolder(c, ffn, name="conv4")()
+            w5, b5 = _ConvParamHolder(ffn // 2, c, name="conv5")()
+            return naf_ffn(
+                y, ln_w, ln_b, w4.reshape(c, ffn), b4, w5.reshape(ffn // 2, c), b5, gamma.reshape(c)
+            )
+
         x = conv2d(ffn, 1, name="conv4", in_features=c)(LayerNorm2d(c, name="norm2")(y))
         x = simple_gate(x)
         x = conv2d(c, 1, name="conv5", in_features=ffn // 2)(x)
         if self.drop_out_rate > 0:
             x = nn.Dropout(self.drop_out_rate, name="dropout2")(x, deterministic=deterministic)
 
-        gamma = self.param("gamma", nn.initializers.zeros, (1, 1, 1, c))
         return y + x * gamma
 
 

@@ -1,0 +1,104 @@
+"""Fused NAFBlock FFN branch: LN → 1×1 expand → SimpleGate → 1×1 → residual.
+
+Beyond-reference fusion (SURVEY §7.6d): the FFN half of every NAFBlock
+(nafnet_arch.py:180-186) is a pure pointwise chain — LayerNorm2d, a c→2c
+matmul, the channel-halving gate, a c→c matmul, and the γ-scaled residual.
+XLA materialises the 2c-wide intermediate in HBM between the two convs; this
+kernel keeps the whole chain in VMEM per row tile: y is read once, out written
+once, weights stay resident across the grid.
+
+Backward recomputes through the jnp reference (custom_vjp).  Guarded to
+c ≤ 512 so the weight blocks fit VMEM (the flagship's 28-block stage is c=512).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_MAX_C = 512
+
+
+def naf_ffn_ref(y, ln_w, ln_b, w4, b4, w5, b5, gamma, eps: float = 1e-6):
+    """jnp reference over (rows, c) tensors."""
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean((y - mu) ** 2, axis=-1, keepdims=True)
+    ln = (y - mu) * jax.lax.rsqrt(var + eps) * ln_w + ln_b
+    h = ln @ w4 + b4
+    h1, h2 = jnp.split(h, 2, axis=-1)
+    out = (h1 * h2) @ w5 + b5
+    return y + gamma * out
+
+
+def _kernel(y_ref, lnw_ref, lnb_ref, w4_ref, b4_ref, w5_ref, b5_ref, g_ref, out_ref, *, eps: float):
+    y = y_ref[:]
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean((y - mu) ** 2, axis=-1, keepdims=True)
+    ln = (y - mu) * jax.lax.rsqrt(var + eps) * lnw_ref[:] + lnb_ref[:]
+    h = jnp.dot(ln, w4_ref[:], preferred_element_type=jnp.float32) + b4_ref[:]
+    c = y.shape[-1]
+    g = h[:, :c] * h[:, c:]
+    out = jnp.dot(g, w5_ref[:], preferred_element_type=jnp.float32) + b5_ref[:]
+    out_ref[:] = y + g_ref[:] * out
+
+
+def _pick_tile(rows: int) -> int:
+    for t in (1024, 512, 256, 128, 64, 32, 16, 8):
+        if rows % t == 0:
+            return t
+    return rows
+
+
+def _ffn_pallas(y2d, ln_w, ln_b, w4, b4, w5, b5, gamma, eps, interpret):
+    rows, c = y2d.shape
+    tile = _pick_tile(rows)
+    row_spec = pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    vec = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM)  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(_kernel, eps=eps),
+        grid=(rows // tile,),
+        in_specs=[
+            row_spec,
+            vec(c), vec(c),
+            pl.BlockSpec((c, 2 * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            vec(2 * c),
+            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            vec(c),
+            vec(c),
+        ],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, c), y2d.dtype),
+        interpret=interpret,
+    )(y2d, ln_w[None], ln_b[None], w4, b4[None], w5, b5[None], gamma[None])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def naf_ffn(y, ln_w, ln_b, w4, b4, w5, b5, gamma, eps: float = 1e-6, interpret: bool = False):
+    """Fused FFN over (..., c); falls back to jnp when c > 512 or rows unaligned."""
+    c = y.shape[-1]
+    shape = y.shape
+    y2d = y.reshape(-1, c)
+    if (not interpret) and (c > _MAX_C or c % 128 != 0):
+        return naf_ffn_ref(y2d, ln_w, ln_b, w4, b4, w5, b5, gamma, eps).reshape(shape)
+    return _ffn_pallas(y2d, ln_w, ln_b, w4, b4, w5, b5, gamma, eps, interpret).reshape(shape)
+
+
+def _fwd(y, ln_w, ln_b, w4, b4, w5, b5, gamma, eps, interpret):
+    return naf_ffn(y, ln_w, ln_b, w4, b4, w5, b5, gamma, eps, interpret), (y, ln_w, ln_b, w4, b4, w5, b5, gamma)
+
+
+def _bwd(eps, interpret, res, g):
+    y, ln_w, ln_b, w4, b4, w5, b5, gamma = res
+    shape = y.shape
+    _, vjp = jax.vjp(
+        lambda y, lw, lb, w4, b4, w5, b5, gm: naf_ffn_ref(y.reshape(-1, shape[-1]), lw, lb, w4, b4, w5, b5, gm, eps).reshape(shape),
+        y, ln_w, ln_b, w4, b4, w5, b5, gamma,
+    )
+    return vjp(g)
+
+
+naf_ffn.defvjp(_fwd, _bwd)

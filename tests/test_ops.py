@@ -176,3 +176,53 @@ class TestMDTA:
             m._pick_l_tile = orig
         ref = mdta_ref(q, k, v, t, False)
         np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=3e-5)
+
+
+class TestNafFFN:
+    def test_fused_matches_reference(self, rng):
+        from dcpt_tpu.ops.naf_ffn import naf_ffn, naf_ffn_ref
+
+        c = 128
+        y = jnp.asarray(rng.standard_normal((2, 8, 8, c)).astype(np.float32))
+        ln_w = jnp.asarray(1 + 0.1 * rng.standard_normal(c).astype(np.float32))
+        ln_b = jnp.asarray(0.1 * rng.standard_normal(c).astype(np.float32))
+        w4 = jnp.asarray(rng.standard_normal((c, 2 * c)).astype(np.float32) * 0.05)
+        b4 = jnp.asarray(rng.standard_normal(2 * c).astype(np.float32) * 0.05)
+        w5 = jnp.asarray(rng.standard_normal((c, c)).astype(np.float32) * 0.05)
+        b5 = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.05)
+        gamma = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.1)
+
+        fused = naf_ffn(y, ln_w, ln_b, w4, b4, w5, b5, gamma, 1e-6, True)
+        ref = naf_ffn_ref(y.reshape(-1, c), ln_w, ln_b, w4, b4, w5, b5, gamma).reshape(y.shape)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-5)
+
+        g1 = jax.grad(lambda y: jnp.sum(naf_ffn(y, ln_w, ln_b, w4, b4, w5, b5, gamma, 1e-6, True) ** 2))(y)
+        g2 = jax.grad(lambda y: jnp.sum(naf_ffn_ref(y.reshape(-1, c), ln_w, ln_b, w4, b4, w5, b5, gamma) ** 2))(y)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-3)
+
+    def test_nafblock_fused_ffn_matches(self, rng):
+        """NAFNet forward identical with the fused FFN path (interpret mode)."""
+        from dcpt_tpu.archs.nafnet_arch import NAFNetBaseline
+        from dcpt_tpu.ops import enable_pallas
+        import dcpt_tpu.ops.naf_ffn as nf
+        import dcpt_tpu.ops.layernorm2d as ln_mod
+        import dcpt_tpu.ops.mdta as mdta_mod
+
+        net = NAFNetBaseline(width=128, enc_blk_nums=(1,), middle_blk_num=1, dec_blk_nums=(1,))
+        x = jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32))
+        params = net.init(jax.random.PRNGKey(0), x)
+        base, _ = net.apply(params, x)
+
+        orig_ffn = nf._ffn_pallas
+        orig_ln_fwd, orig_ln_bwd = ln_mod._fwd_call, ln_mod._bwd_call
+        nf._ffn_pallas = lambda *a: orig_ffn(*a[:-1], True)
+        ln_mod._fwd_call = lambda *a: orig_ln_fwd(*a[:-1], True)
+        ln_mod._bwd_call = lambda *a: orig_ln_bwd(*a[:-1], True)
+        enable_pallas(True)
+        try:
+            fused, _ = net.apply(params, x)
+        finally:
+            enable_pallas(False)
+            nf._ffn_pallas = orig_ffn
+            ln_mod._fwd_call, ln_mod._bwd_call = orig_ln_fwd, orig_ln_bwd
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(base), atol=2e-5)
