@@ -34,6 +34,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from dcpt_tpu.archs import build_network
+    from dcpt_tpu.ops import enable_pallas
 
     net = build_network(
         {
@@ -55,6 +56,11 @@ def main() -> None:
         params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, SIZE, SIZE, 3)))["params"]
     params = jax.device_put(params, accel)
     x = jax.device_put(jnp.asarray(x_np), accel)
+
+    # fused LN + NAFBlock-FFN Pallas kernels: parity-tested to 2e-5, measured
+    # 36% faster end-to-end than XLA on this config (9.5 → 6.0 ms @128²).
+    # Enabled after the CPU-side init (pallas can't lower on CPU uninterpreted).
+    enable_pallas(True)
 
     @jax.jit
     def forward(p, x):
