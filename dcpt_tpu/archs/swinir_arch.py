@@ -83,6 +83,27 @@ class WindowAttention(nn.Module):
         hd = c // heads
         scale = self.qk_scale or hd**-0.5
 
+        from ..ops import pallas_enabled
+
+        if pallas_enabled() and self.qkv_bias and self.qk_scale is None and c % 128 == 0:
+            # fused qkv→softmax→PV→proj kernel (SURVEY §7: SwinIR is
+            # small-matmul-bound; one VMEM pass per window tile)
+            from ..ops.window_attention import fused_window_attention
+
+            class _DenseParams(nn.Module):
+                din: int
+                dout: int
+
+                @nn.compact
+                def __call__(self):
+                    k = self.param("kernel", _dense(self.dout).kernel_init, (self.din, self.dout))
+                    b = self.param("bias", nn.initializers.zeros, (self.dout,))
+                    return k, b
+
+            wqkv, bqkv = _DenseParams(c, 3 * c, name="qkv")()
+            wproj, bproj = _DenseParams(c, c, name="proj")()
+            return fused_window_attention(x, wqkv, bqkv, wproj, bproj, heads)
+
         qkv = _dense(c * 3, self.qkv_bias, "qkv")(x)
         qkv = qkv.reshape(b_, n, 3, heads, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]

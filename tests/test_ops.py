@@ -226,3 +226,46 @@ class TestNafFFN:
             nf._ffn_pallas = orig_ffn
             ln_mod._fwd_call, ln_mod._bwd_call = orig_ln_fwd, orig_ln_bwd
         np.testing.assert_allclose(np.asarray(fused), np.asarray(base), atol=2e-5)
+
+
+class TestWindowAttention:
+    def test_fused_matches_reference(self, rng):
+        from dcpt_tpu.ops.window_attention import fused_window_attention, window_attention_ref
+
+        nw, n, c, heads = 8, 64, 128, 4
+        x = jnp.asarray(rng.standard_normal((nw, n, c)).astype(np.float32) * 0.2)
+        wqkv = jnp.asarray(rng.standard_normal((c, 3 * c)).astype(np.float32) * 0.05)
+        bqkv = jnp.asarray(rng.standard_normal(3 * c).astype(np.float32) * 0.02)
+        wproj = jnp.asarray(rng.standard_normal((c, c)).astype(np.float32) * 0.05)
+        bproj = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.02)
+        fused = fused_window_attention(x, wqkv, bqkv, wproj, bproj, heads, True)
+        ref = window_attention_ref(x, wqkv, bqkv, wproj, bproj, heads)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-5)
+
+    def test_swinir_with_fused_attention_matches(self, rng):
+        from dcpt_tpu.archs.swinir_arch import SwinIR
+        from dcpt_tpu.ops import enable_pallas
+        import dcpt_tpu.ops.window_attention as wa
+        import dcpt_tpu.ops.layernorm2d as ln_mod
+
+        net = SwinIR(img_size=16, embed_dim=128, depths=(1, 1, 1, 1, 1, 1), num_heads=(4,) * 6, window_size=8, mlp_ratio=2.0, upscale=1, upsampler="")
+        x = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+        params = net.init(jax.random.PRNGKey(0), x)
+        base, _ = net.apply(params, x)
+
+        import dcpt_tpu.ops as ops_pkg
+        from dcpt_tpu.ops.window_process import window_partition_fused as wpf, window_reverse_fused as wrf
+
+        orig = wa._wa_pallas
+        orig_wp, orig_wr = ops_pkg.window_partition_fused, ops_pkg.window_reverse_fused
+        wa._wa_pallas = lambda *a: orig(*a[:-1], True)
+        ops_pkg.window_partition_fused = lambda *a, **k: wpf(*a, **{**k, "interpret": True})
+        ops_pkg.window_reverse_fused = lambda *a, **k: wrf(*a, **{**k, "interpret": True})
+        enable_pallas(True)
+        try:
+            fused, _ = net.apply(params, x)
+        finally:
+            enable_pallas(False)
+            wa._wa_pallas = orig
+            ops_pkg.window_partition_fused, ops_pkg.window_reverse_fused = orig_wp, orig_wr
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(base), atol=2e-5)
