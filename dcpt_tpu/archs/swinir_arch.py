@@ -144,24 +144,17 @@ class SwinTransformerBlock(nn.Module):
 
         shortcut = x
         x = TorchLayerNorm(c, name="norm1")(x)
-
-        from ..ops import pallas_enabled
-
-        if pallas_enabled():
-            # fused shift+partition / merge+shift (the window_process op twin)
-            from ..ops import window_partition_fused, window_reverse_fused
-
-            xw = window_partition_fused(x, ws, ss)
-            xw = WindowAttention(c, self.num_heads, self.qkv_bias, self.qk_scale, name="attn")(xw)
-            x = window_reverse_fused(xw, ws, h, w, ss)
-        else:
-            if ss > 0:
-                x = jnp.roll(x, shift=(-ss, -ss), axis=(1, 2))
-            xw = window_partition(x, ws)
-            xw = WindowAttention(c, self.num_heads, self.qkv_bias, self.qk_scale, name="attn")(xw)
-            x = window_reverse(xw, ws, h, w)
-            if ss > 0:
-                x = jnp.roll(x, shift=(ss, ss), axis=(1, 2))
+        # NOTE: the fused shift+partition kernels (ops/window_process.py, the
+        # reference's window_process op twin) measured slightly slower than
+        # XLA's roll+reshape fusion end-to-end on v5e, so the hot path keeps
+        # the XLA composition; the fused *attention* kernel below is gated.
+        if ss > 0:
+            x = jnp.roll(x, shift=(-ss, -ss), axis=(1, 2))
+        xw = window_partition(x, ws)
+        xw = WindowAttention(c, self.num_heads, self.qkv_bias, self.qk_scale, name="attn")(xw)
+        x = window_reverse(xw, ws, h, w)
+        if ss > 0:
+            x = jnp.roll(x, shift=(ss, ss), axis=(1, 2))
 
         x = shortcut + x
         x = x + SwinMlp(c, int(c * self.mlp_ratio), name="mlp")(TorchLayerNorm(c, name="norm2")(x))

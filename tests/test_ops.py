@@ -253,19 +253,12 @@ class TestWindowAttention:
         params = net.init(jax.random.PRNGKey(0), x)
         base, _ = net.apply(params, x)
 
-        import dcpt_tpu.ops as ops_pkg
-        from dcpt_tpu.ops.window_process import window_partition_fused as wpf, window_reverse_fused as wrf
-
         orig = wa._wa_pallas
-        orig_wp, orig_wr = ops_pkg.window_partition_fused, ops_pkg.window_reverse_fused
         wa._wa_pallas = lambda *a: orig(*a[:-1], True)
-        ops_pkg.window_partition_fused = lambda *a, **k: wpf(*a, **{**k, "interpret": True})
-        ops_pkg.window_reverse_fused = lambda *a, **k: wrf(*a, **{**k, "interpret": True})
         enable_pallas(True)
         try:
             fused, _ = net.apply(params, x)
         finally:
             enable_pallas(False)
             wa._wa_pallas = orig
-            ops_pkg.window_partition_fused, ops_pkg.window_reverse_fused = orig_wp, orig_wr
         np.testing.assert_allclose(np.asarray(fused), np.asarray(base), atol=2e-5)
