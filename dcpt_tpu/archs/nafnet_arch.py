@@ -52,8 +52,19 @@ class NAFBlock(nn.Module):
         dw = c * self.dw_expand
         ffn = c * self.ffn_expand
 
-        x = LayerNorm2d(c, name="norm1")(inp)
-        x = conv2d(dw, 1, name="conv1", in_features=c)(x)
+        from ..ops import pallas_enabled
+
+        if pallas_enabled() and c % 128 == 0 and c <= 512:
+            # fused LN + 1×1 expand (one VMEM pass), then the depthwise conv
+            from ..ops.naf_ffn import naf_expand
+            from .arch_util import _ConvParamHolder, _NormParamHolder
+
+            n1_w, n1_b = _NormParamHolder(c, name="norm1")()
+            w1, b1 = _ConvParamHolder(c, dw, name="conv1")()
+            x = naf_expand(inp, n1_w, n1_b, w1.reshape(c, dw), b1)
+        else:
+            x = LayerNorm2d(c, name="norm1")(inp)
+            x = conv2d(dw, 1, name="conv1", in_features=c)(x)
         x = conv2d(dw, 3, groups=dw, name="conv2", in_features=dw)(x)
         x = simple_gate(x)
 

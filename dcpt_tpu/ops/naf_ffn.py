@@ -76,6 +76,78 @@ def _ffn_pallas(y2d, ln_w, ln_b, w4, b4, w5, b5, gamma, eps, interpret):
     )(y2d, ln_w[None], ln_b[None], w4, b4[None], w5, b5[None], gamma[None])
 
 
+# ---------------------------------------------------------------------------
+# LN + 1×1 expand (the attention-branch prefix, nafnet_arch.py:168-170)
+# ---------------------------------------------------------------------------
+
+
+def naf_expand_ref(x, ln_w, ln_b, w1, b1, eps: float = 1e-6):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    ln = (x - mu) * jax.lax.rsqrt(var + eps) * ln_w + ln_b
+    return ln @ w1 + b1
+
+
+def _expand_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, out_ref, *, eps: float):
+    x = x_ref[:]
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    ln = (x - mu) * jax.lax.rsqrt(var + eps) * lnw_ref[:] + lnb_ref[:]
+    out_ref[:] = jnp.dot(ln, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
+
+
+def _expand_pallas(x2d, ln_w, ln_b, w1, b1, eps, interpret):
+    rows, c = x2d.shape
+    c_out = w1.shape[1]
+    tile = _pick_tile(rows)
+    vec = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM)  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(_expand_kernel, eps=eps),
+        grid=(rows // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            vec(c), vec(c),
+            pl.BlockSpec((c, c_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            vec(c_out),
+        ],
+        out_specs=pl.BlockSpec((tile, c_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, c_out), x2d.dtype),
+        interpret=interpret,
+    )(x2d, ln_w[None], ln_b[None], w1, b1[None])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def naf_expand(x, ln_w, ln_b, w1, b1, eps: float = 1e-6, interpret: bool = False):
+    """Fused LN + 1×1 expand over (..., c) → (..., c_out)."""
+    c = x.shape[-1]
+    shape = x.shape
+    x2d = x.reshape(-1, c)
+    if (not interpret) and (c > _MAX_C or c % 128 != 0):
+        out = naf_expand_ref(x2d, ln_w, ln_b, w1, b1, eps)
+    else:
+        out = _expand_pallas(x2d, ln_w, ln_b, w1, b1, eps, interpret)
+    return out.reshape(*shape[:-1], w1.shape[1])
+
+
+def _exp_fwd(x, ln_w, ln_b, w1, b1, eps, interpret):
+    return naf_expand(x, ln_w, ln_b, w1, b1, eps, interpret), (x, ln_w, ln_b, w1, b1)
+
+
+def _exp_bwd(eps, interpret, res, g):
+    x, ln_w, ln_b, w1, b1 = res
+    shape = x.shape
+    _, vjp = jax.vjp(
+        lambda x, lw, lb, w, b: naf_expand_ref(x.reshape(-1, shape[-1]), lw, lb, w, b, eps).reshape(
+            *shape[:-1], w.shape[1]
+        ),
+        x, ln_w, ln_b, w1, b1,
+    )
+    return vjp(g)
+
+
+naf_expand.defvjp(_exp_fwd, _exp_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
 def naf_ffn(y, ln_w, ln_b, w4, b4, w5, b5, gamma, eps: float = 1e-6, interpret: bool = False):
     """Fused FFN over (..., c); falls back to jnp when c > 512 or rows unaligned."""

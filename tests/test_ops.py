@@ -214,8 +214,10 @@ class TestNafFFN:
         base, _ = net.apply(params, x)
 
         orig_ffn = nf._ffn_pallas
+        orig_exp = nf._expand_pallas
         orig_ln_fwd, orig_ln_bwd = ln_mod._fwd_call, ln_mod._bwd_call
         nf._ffn_pallas = lambda *a: orig_ffn(*a[:-1], True)
+        nf._expand_pallas = lambda *a: orig_exp(*a[:-1], True)
         ln_mod._fwd_call = lambda *a: orig_ln_fwd(*a[:-1], True)
         ln_mod._bwd_call = lambda *a: orig_ln_bwd(*a[:-1], True)
         enable_pallas(True)
@@ -224,6 +226,7 @@ class TestNafFFN:
         finally:
             enable_pallas(False)
             nf._ffn_pallas = orig_ffn
+            nf._expand_pallas = orig_exp
             ln_mod._fwd_call, ln_mod._bwd_call = orig_ln_fwd, orig_ln_bwd
         np.testing.assert_allclose(np.asarray(fused), np.asarray(base), atol=2e-5)
 
@@ -262,3 +265,20 @@ class TestWindowAttention:
             enable_pallas(False)
             wa._wa_pallas = orig
         np.testing.assert_allclose(np.asarray(fused), np.asarray(base), atol=2e-5)
+
+    def test_naf_expand_matches(self, rng):
+        from dcpt_tpu.ops.naf_ffn import naf_expand, naf_expand_ref
+
+        c, dw = 128, 256
+        x = jnp.asarray(rng.standard_normal((2, 8, 8, c)).astype(np.float32))
+        ln_w = jnp.asarray(1 + 0.1 * rng.standard_normal(c).astype(np.float32))
+        ln_b = jnp.asarray(0.1 * rng.standard_normal(c).astype(np.float32))
+        w1 = jnp.asarray(rng.standard_normal((c, dw)).astype(np.float32) * 0.05)
+        b1 = jnp.asarray(rng.standard_normal(dw).astype(np.float32) * 0.05)
+        fused = naf_expand(x, ln_w, ln_b, w1, b1, 1e-6, True)
+        ref = naf_expand_ref(x.reshape(-1, c), ln_w, ln_b, w1, b1).reshape(2, 8, 8, dw)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-5)
+
+        g1 = jax.grad(lambda x: jnp.sum(naf_expand(x, ln_w, ln_b, w1, b1, 1e-6, True) ** 2))(x)
+        g2 = jax.grad(lambda x: jnp.sum(naf_expand_ref(x.reshape(-1, c), ln_w, ln_b, w1, b1) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-3)
