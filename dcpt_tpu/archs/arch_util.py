@@ -116,29 +116,37 @@ class LayerNorm2d(nn.Module):
 
 
 class _ConvParamHolder(nn.Module):
-    """Declares 1×1-conv params (kernel HWIO + bias) without running the conv —
-    lets fused Pallas paths share the exact param tree of an ``nn.Conv``."""
+    """Declares 1×1-conv params (kernel HWIO [+ bias]) without running the conv
+    — lets fused Pallas paths share the exact param tree of an ``nn.Conv``."""
 
     in_features: int
     features: int
+    use_bias: bool = True
+    kernel_init: object = None  # default: torch conv init
 
     @nn.compact
     def __call__(self):
-        kernel = self.param("kernel", torch_conv_kernel_init, (1, 1, self.in_features, self.features))
-        bias = self.param("bias", torch_bias_init(self.in_features), (self.features,))
-        return kernel, bias
+        kinit = self.kernel_init if self.kernel_init is not None else torch_conv_kernel_init
+        kernel = self.param("kernel", kinit, (1, 1, self.in_features, self.features))
+        if self.use_bias:
+            bias = self.param("bias", torch_bias_init(self.in_features), (self.features,))
+            return kernel, bias
+        return kernel, None
 
 
 class _NormParamHolder(nn.Module):
-    """LayerNorm2d's (weight, bias) params without the compute."""
+    """LayerNorm's (weight[, bias]) params without the compute."""
 
     channels: int
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self):
         weight = self.param("weight", nn.initializers.ones, (self.channels,))
-        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
-        return weight, bias
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+            return weight, bias
+        return weight, jnp.zeros((self.channels,), weight.dtype)
 
 
 # ---------------------------------------------------------------------------

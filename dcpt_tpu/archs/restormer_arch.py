@@ -65,7 +65,11 @@ class ChannelLayerNorm(nn.Module):
 
 
 class MDTA(nn.Module):
-    """Multi-Dconv-Head Transposed Attention over channels (restormer_arch.py:103-145)."""
+    """Multi-Dconv-Head Transposed Attention over channels (restormer_arch.py:103-145).
+
+    ``pre_norm`` = (ln_w, ln_b, eps, biasfree): when given (pallas fast path),
+    the incoming x is RAW and the LN + qkv 1×1 run as one fused kernel.
+    """
 
     dim: int
     num_heads: int
@@ -73,12 +77,20 @@ class MDTA(nn.Module):
     use_softmax: bool = False  # the reference variant uses ReLU
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, pre_norm=None) -> jax.Array:
         b, h, w, c = x.shape
         heads = self.num_heads
         ch = c // heads
 
-        qkv = _conv(c * 3, 1, self.bias, "qkv")(x)
+        if pre_norm is not None and not self.bias:
+            from .arch_util import _ConvParamHolder, trunc_normal_init
+            from ..ops.ln_proj import fused_ln_proj
+
+            ln_w, ln_b, eps, biasfree = pre_norm
+            wqkv, _ = _ConvParamHolder(c, c * 3, use_bias=False, kernel_init=trunc_normal_init(0.02), name="qkv")()
+            qkv = fused_ln_proj(x, ln_w, ln_b, wqkv.reshape(c, c * 3), eps, biasfree)
+        else:
+            qkv = _conv(c * 3, 1, self.bias, "qkv")(x)
         qkv = _conv(c * 3, 3, self.bias, "qkv_dwconv", groups=c * 3)(qkv)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
@@ -88,42 +100,43 @@ class MDTA(nn.Module):
         q, k, v = heads_first(q), heads_first(k), heads_first(v)
         temperature = self.param("temperature", nn.initializers.ones, (heads, 1, 1))
 
-        from ..ops import pallas_enabled
-
-        if pallas_enabled():
-            from ..ops import mdta_attention
-
-            t_bh = jnp.tile(temperature[:, 0, 0], (b,))
-            out = mdta_attention(
-                q.reshape(b * heads, ch, h * w),
-                k.reshape(b * heads, ch, h * w),
-                v.reshape(b * heads, ch, h * w),
-                t_bh,
-                self.use_softmax,
-            ).reshape(b, heads, ch, h * w)
-        else:
-            # L2-normalise along the pixel axis (torch F.normalize eps=1e-12)
-            qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
-            kn = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
-            attn = jnp.einsum("bhcp,bhdp->bhcd", qn, kn) * temperature
-            attn = jax.nn.softmax(attn, axis=-1) if self.use_softmax else jax.nn.relu(attn)
-            out = jnp.einsum("bhcd,bhdp->bhcp", attn, v)
+        # NOTE: the fused MDTA kernel (ops/mdta.py) wins 24× in isolation but
+        # loses end-to-end to XLA's whole-model fusion on v5e (PARITY.md), so
+        # the attention math stays on the XLA path; the LN+qkv prefix fusion
+        # (pre_norm above) is the measured win.
+        # L2-normalise along the pixel axis (torch F.normalize eps=1e-12)
+        qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+        kn = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
+        attn = jnp.einsum("bhcp,bhdp->bhcd", qn, kn) * temperature
+        attn = jax.nn.softmax(attn, axis=-1) if self.use_softmax else jax.nn.relu(attn)
+        out = jnp.einsum("bhcd,bhdp->bhcp", attn, v)
 
         out = out.transpose(0, 3, 1, 2).reshape(b, h, w, c)
         return _conv(c, 1, self.bias, "project_out")(out)
 
 
 class GDFN(nn.Module):
-    """Gated-Dconv feed-forward network (restormer_arch.py:75-100)."""
+    """Gated-Dconv feed-forward network (restormer_arch.py:75-100).
+
+    ``pre_norm`` fuses the preceding LN into the project_in matmul (see MDTA).
+    """
 
     dim: int
     ffn_expansion_factor: float = 2.66
     bias: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, pre_norm=None) -> jax.Array:
         hidden = int(self.dim * self.ffn_expansion_factor)
-        x = _conv(hidden * 2, 1, False, "project_in")(x)
+        if pre_norm is not None:
+            from .arch_util import _ConvParamHolder, trunc_normal_init
+            from ..ops.ln_proj import fused_ln_proj
+
+            ln_w, ln_b, eps, biasfree = pre_norm
+            w_in, _ = _ConvParamHolder(self.dim, hidden * 2, use_bias=False, kernel_init=trunc_normal_init(0.02), name="project_in")()
+            x = fused_ln_proj(x, ln_w, ln_b, w_in.reshape(self.dim, hidden * 2), eps, biasfree)
+        else:
+            x = _conv(hidden * 2, 1, False, "project_in")(x)
         x = _conv(hidden * 2, 3, False, "dwconv", groups=hidden * 2)(x)
         x1, x2 = jnp.split(x, 2, axis=-1)
         x = jax.nn.gelu(x1, approximate=False) * x2
@@ -137,14 +150,32 @@ class TransformerBlock(nn.Module):
     bias: bool = False
     layernorm_bias: bool = False
     use_softmax: bool = False
+    ln_eps: float = 1e-6
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = x + MDTA(self.dim, self.num_heads, self.bias, self.use_softmax, name="attn")(
-            ChannelLayerNorm(self.dim, self.layernorm_bias, name="norm1")(x)
+        from ..ops import pallas_enabled
+
+        c = self.dim
+        if pallas_enabled() and not self.bias and c % 16 == 0 and c <= 512:
+            # fused LN+qkv / LN+project_in prefixes (one VMEM pass each)
+            from .arch_util import _NormParamHolder
+
+            n1_w, n1_b = _NormParamHolder(c, use_bias=self.layernorm_bias, name="norm1")()
+            x = x + MDTA(c, self.num_heads, self.bias, self.use_softmax, name="attn")(
+                x, pre_norm=(n1_w, n1_b, self.ln_eps, not self.layernorm_bias)
+            )
+            n2_w, n2_b = _NormParamHolder(c, use_bias=self.layernorm_bias, name="norm2")()
+            x = x + GDFN(c, self.ffn_expansion_factor, self.bias, name="ffn")(
+                x, pre_norm=(n2_w, n2_b, self.ln_eps, not self.layernorm_bias)
+            )
+            return x
+
+        x = x + MDTA(c, self.num_heads, self.bias, self.use_softmax, name="attn")(
+            ChannelLayerNorm(c, self.layernorm_bias, name="norm1")(x)
         )
-        x = x + GDFN(self.dim, self.ffn_expansion_factor, self.bias, name="ffn")(
-            ChannelLayerNorm(self.dim, self.layernorm_bias, name="norm2")(x)
+        x = x + GDFN(c, self.ffn_expansion_factor, self.bias, name="ffn")(
+            ChannelLayerNorm(c, self.layernorm_bias, name="norm2")(x)
         )
         return x
 

@@ -39,10 +39,10 @@ def _kernel(y_ref, lnw_ref, lnb_ref, w4_ref, b4_ref, w5_ref, b5_ref, g_ref, out_
     mu = jnp.mean(y, axis=-1, keepdims=True)
     var = jnp.mean((y - mu) ** 2, axis=-1, keepdims=True)
     ln = (y - mu) * jax.lax.rsqrt(var + eps) * lnw_ref[:] + lnb_ref[:]
-    h = jnp.dot(ln, w4_ref[:], preferred_element_type=jnp.float32) + b4_ref[:]
+    h = jnp.dot(ln, w4_ref[:], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) + b4_ref[:]
     c = y.shape[-1]
     g = h[:, :c] * h[:, c:]
-    out = jnp.dot(g, w5_ref[:], preferred_element_type=jnp.float32) + b5_ref[:]
+    out = jnp.dot(g, w5_ref[:], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) + b5_ref[:]
     out_ref[:] = y + g_ref[:] * out
 
 
@@ -93,7 +93,7 @@ def _expand_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, out_ref, *, eps: flo
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
     ln = (x - mu) * jax.lax.rsqrt(var + eps) * lnw_ref[:] + lnb_ref[:]
-    out_ref[:] = jnp.dot(ln, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
+    out_ref[:] = jnp.dot(ln, w1_ref[:], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) + b1_ref[:]
 
 
 def _expand_pallas(x2d, ln_w, ln_b, w1, b1, eps, interpret):
@@ -122,7 +122,7 @@ def naf_expand(x, ln_w, ln_b, w1, b1, eps: float = 1e-6, interpret: bool = False
     c = x.shape[-1]
     shape = x.shape
     x2d = x.reshape(-1, c)
-    if (not interpret) and (c > _MAX_C or c % 128 != 0):
+    if (not interpret) and (c > _MAX_C or c % 16 != 0):
         out = naf_expand_ref(x2d, ln_w, ln_b, w1, b1, eps)
     else:
         out = _expand_pallas(x2d, ln_w, ln_b, w1, b1, eps, interpret)
@@ -154,7 +154,7 @@ def naf_ffn(y, ln_w, ln_b, w4, b4, w5, b5, gamma, eps: float = 1e-6, interpret: 
     c = y.shape[-1]
     shape = y.shape
     y2d = y.reshape(-1, c)
-    if (not interpret) and (c > _MAX_C or c % 128 != 0):
+    if (not interpret) and (c > _MAX_C or c % 16 != 0):
         return naf_ffn_ref(y2d, ln_w, ln_b, w4, b4, w5, b5, gamma, eps).reshape(shape)
     return _ffn_pallas(y2d, ln_w, ln_b, w4, b4, w5, b5, gamma, eps, interpret).reshape(shape)
 

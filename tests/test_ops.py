@@ -282,3 +282,44 @@ class TestWindowAttention:
         g1 = jax.grad(lambda x: jnp.sum(naf_expand(x, ln_w, ln_b, w1, b1, 1e-6, True) ** 2))(x)
         g2 = jax.grad(lambda x: jnp.sum(naf_expand_ref(x.reshape(-1, c), ln_w, ln_b, w1, b1) ** 2))(x)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-3)
+
+
+class TestLnProj:
+    @pytest.mark.parametrize("biasfree", [True, False])
+    def test_fused_matches_reference(self, rng, biasfree):
+        from dcpt_tpu.ops.ln_proj import fused_ln_proj, ln_proj_ref
+
+        c, cout = 48, 144
+        x = jnp.asarray(rng.standard_normal((2, 8, 8, c)).astype(np.float32))
+        ln_w = jnp.asarray(1 + 0.1 * rng.standard_normal(c).astype(np.float32))
+        ln_b = jnp.zeros(c) if biasfree else jnp.asarray(0.1 * rng.standard_normal(c).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((c, cout)).astype(np.float32) * 0.05)
+        fused = fused_ln_proj(x, ln_w, ln_b, w, 1e-5, biasfree, True)
+        ref = ln_proj_ref(x.reshape(-1, c), ln_w, ln_b, w, 1e-5, biasfree).reshape(2, 8, 8, cout)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-5)
+
+        g1 = jax.grad(lambda x: jnp.sum(fused_ln_proj(x, ln_w, ln_b, w, 1e-5, biasfree, True) ** 2))(x)
+        g2 = jax.grad(lambda x: jnp.sum(ln_proj_ref(x.reshape(-1, c), ln_w, ln_b, w, 1e-5, biasfree) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-3)
+
+    @pytest.mark.parametrize("ln_type", ["BiasFree", "WithBias"])
+    def test_restormer_gated_path_matches(self, rng, ln_type):
+        """Restormer forward identical with the fused LN+proj prefixes."""
+        from dcpt_tpu.archs.restormer_arch import Restormer
+        from dcpt_tpu.ops import enable_pallas
+        import dcpt_tpu.ops.ln_proj as lp
+
+        net = Restormer(dim=16, num_blocks=(1, 1, 1, 1), num_refinement_blocks=1, heads=(1, 2, 2, 4), LayerNorm_type=ln_type)
+        x = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+        params = net.init(jax.random.PRNGKey(0), x)
+        base, _ = net.apply(params, x)
+
+        orig = lp._lp_pallas
+        lp._lp_pallas = lambda *a: orig(*a[:-1], True)
+        enable_pallas(True)
+        try:
+            fused, _ = net.apply(params, x)
+        finally:
+            enable_pallas(False)
+            lp._lp_pallas = orig
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(base), atol=3e-5)
