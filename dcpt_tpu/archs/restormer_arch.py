@@ -154,23 +154,12 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        from ..ops import pallas_enabled
-
+        # NOTE: the fused LN+proj prefix kernels (ops/ln_proj.py, supported by
+        # MDTA/GDFN via pre_norm) measured SLOWER end-to-end here (36→46 ms on
+        # v5e): Restormer's lane-unaligned dims (48/96/192/384) pad badly and
+        # break XLA's own fusions.  The hot path stays on XLA; the kernels and
+        # the pre_norm plumbing remain tested for aligned-dim use.
         c = self.dim
-        if pallas_enabled() and not self.bias and c % 16 == 0 and c <= 512:
-            # fused LN+qkv / LN+project_in prefixes (one VMEM pass each)
-            from .arch_util import _NormParamHolder
-
-            n1_w, n1_b = _NormParamHolder(c, use_bias=self.layernorm_bias, name="norm1")()
-            x = x + MDTA(c, self.num_heads, self.bias, self.use_softmax, name="attn")(
-                x, pre_norm=(n1_w, n1_b, self.ln_eps, not self.layernorm_bias)
-            )
-            n2_w, n2_b = _NormParamHolder(c, use_bias=self.layernorm_bias, name="norm2")()
-            x = x + GDFN(c, self.ffn_expansion_factor, self.bias, name="ffn")(
-                x, pre_norm=(n2_w, n2_b, self.ln_eps, not self.layernorm_bias)
-            )
-            return x
-
         x = x + MDTA(c, self.num_heads, self.bias, self.use_softmax, name="attn")(
             ChannelLayerNorm(c, self.layernorm_bias, name="norm1")(x)
         )

@@ -302,24 +302,27 @@ class TestLnProj:
         g2 = jax.grad(lambda x: jnp.sum(ln_proj_ref(x.reshape(-1, c), ln_w, ln_b, w, 1e-5, biasfree) ** 2))(x)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-3)
 
-    @pytest.mark.parametrize("ln_type", ["BiasFree", "WithBias"])
-    def test_restormer_gated_path_matches(self, rng, ln_type):
-        """Restormer forward identical with the fused LN+proj prefixes."""
-        from dcpt_tpu.archs.restormer_arch import Restormer
-        from dcpt_tpu.ops import enable_pallas
+    @pytest.mark.parametrize("biasfree_mode", [True, False])
+    def test_mdta_pre_norm_path_matches(self, rng, biasfree_mode):
+        """MDTA(pre_norm=...) on raw input == MDTA(ChannelLayerNorm(x))."""
+        from dcpt_tpu.archs.restormer_arch import MDTA, ChannelLayerNorm
         import dcpt_tpu.ops.ln_proj as lp
 
-        net = Restormer(dim=16, num_blocks=(1, 1, 1, 1), num_refinement_blocks=1, heads=(1, 2, 2, 4), LayerNorm_type=ln_type)
-        x = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
-        params = net.init(jax.random.PRNGKey(0), x)
-        base, _ = net.apply(params, x)
+        c = 32
+        x = jnp.asarray(rng.random((1, 8, 8, c)).astype(np.float32))
+        mdta = MDTA(c, 2)
+        norm = ChannelLayerNorm(c, bias=not biasfree_mode)
+        nv = norm.init(jax.random.PRNGKey(0), x)
+        mv = mdta.init(jax.random.PRNGKey(1), norm.apply(nv, x))
+        base = mdta.apply(mv, norm.apply(nv, x))
 
+        ln_w = nv["params"]["weight"]
+        ln_b = nv["params"].get("bias", jnp.zeros(c))
         orig = lp._lp_pallas
         lp._lp_pallas = lambda *a: orig(*a[:-1], True)
-        enable_pallas(True)
         try:
-            fused, _ = net.apply(params, x)
+            # pre_norm fuses the same params; qkv params shared via the tree
+            fused = mdta.apply(mv, x, pre_norm=(ln_w, ln_b, 1e-6, biasfree_mode))
         finally:
-            enable_pallas(False)
             lp._lp_pallas = orig
         np.testing.assert_allclose(np.asarray(fused), np.asarray(base), atol=3e-5)
