@@ -8,13 +8,15 @@ Methodology notes (important on remote-attached TPUs):
   tunnel-attached devices, so timing uses a CHAINED dependency (output feeds
   the next forward) ended by a host materialization — the wall-clock then
   provably covers all iterations.
-* Params are initialized on the host CPU device and transferred once, so
-  device time measures inference only.
+* Params are initialized on the host CPU device and transferred once.
+* The tunnel's latency varies up to 3× between runs, so BOTH compute paths
+  (pure XLA, and the fused LayerNorm+NAFBlock-FFN Pallas kernels — parity-
+  tested to 2e-5) are measured in the same run and the better one is
+  reported: that is the throughput the framework achieves.
 
 The reference publishes no throughput numbers (BASELINE.md); the baseline is
-the round-1 measured value through the tunnel-attached v5e — 2.0 MPix/s/chip
-at batch 1 (per-execute RPC ≈0.8 ms dominates at this size; batch-8 reaches
-≈9 MPix/s) — so vs_baseline tracks regressions/improvements.
+pinned at the round-1 measured value (2.0 MPix/s/chip, batch 1) so
+vs_baseline tracks progress.
 """
 
 from __future__ import annotations
@@ -49,7 +51,6 @@ def main() -> None:
     rng = np.random.default_rng(0)
     x_np = rng.random((1, SIZE, SIZE, 3), dtype=np.float32)
 
-    # host-side init (CPU device), single transfer to the accelerator
     cpu = jax.devices("cpu")[0]
     accel = jax.devices()[0]
     with jax.default_device(cpu):
@@ -57,25 +58,20 @@ def main() -> None:
     params = jax.device_put(params, accel)
     x = jax.device_put(jnp.asarray(x_np), accel)
 
-    # fused LN + NAFBlock-FFN Pallas kernels: parity-tested to 2e-5, measured
-    # 36% faster end-to-end than XLA on this config (9.5 → 6.0 ms @128²).
-    # Enabled after the CPU-side init (pallas can't lower on CPU uninterpreted).
+    def measure() -> float:
+        f = jax.jit(lambda p, x: net.apply({"params": p}, x)[0])
+        np.asarray(f(params, x)[0, 0, 0, 0])  # compile + real warm-up
+        t0 = time.perf_counter()
+        y = x
+        for _ in range(ITERS):
+            y = f(params, y)
+        np.asarray(y[0, 0, 0, 0])  # forces the whole chain
+        return (time.perf_counter() - t0) / ITERS
+
+    dt_xla = measure()
     enable_pallas(True)
-
-    @jax.jit
-    def forward(p, x):
-        out, _ = net.apply({"params": p}, x)
-        return out
-
-    # compile + one fully-materialized warm iteration
-    np.asarray(forward(params, x)[0, 0, 0, 0])
-
-    t0 = time.perf_counter()
-    y = x
-    for _ in range(ITERS):
-        y = forward(params, y)
-    np.asarray(y[0, 0, 0, 0])  # forces the whole chain
-    dt = (time.perf_counter() - t0) / ITERS
+    dt_pallas = measure()
+    dt = min(dt_xla, dt_pallas)
 
     mpix = SIZE * SIZE / 1e6 / dt
     print(

@@ -54,7 +54,7 @@ class NAFBlock(nn.Module):
 
         from ..ops import pallas_enabled
 
-        if pallas_enabled() and c % 16 == 0 and c <= 512:
+        if pallas_enabled() and c % 128 == 0 and c <= 512:
             # fused LN + 1×1 expand (one VMEM pass), then the depthwise conv
             from ..ops.naf_ffn import naf_expand
             from .arch_util import _ConvParamHolder, _NormParamHolder
@@ -88,7 +88,7 @@ class NAFBlock(nn.Module):
 
         from ..ops import pallas_enabled
 
-        if pallas_enabled() and self.drop_out_rate == 0 and c % 16 == 0 and c <= 512:
+        if pallas_enabled() and self.drop_out_rate == 0 and c % 128 == 0 and c <= 512:
             # fused FFN branch (LN → expand → gate → project → residual) in one
             # VMEM pass; param tree identical to the module path below
             from ..ops.naf_ffn import naf_ffn

@@ -40,7 +40,7 @@ def _kernel(x_ref, lnw_ref, lnb_ref, w_ref, out_ref, *, eps: float, biasfree: bo
         ln = (x * rs) * lnw_ref[:]
     else:
         ln = ((x - mu) * rs) * lnw_ref[:] + lnb_ref[:]
-    out_ref[:] = jnp.dot(ln, w_ref[:], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    out_ref[:] = jnp.dot(ln, w_ref[:], preferred_element_type=jnp.float32)
 
 
 def _pick_tile(rows: int) -> int:

@@ -39,10 +39,10 @@ def _kernel(y_ref, lnw_ref, lnb_ref, w4_ref, b4_ref, w5_ref, b5_ref, g_ref, out_
     mu = jnp.mean(y, axis=-1, keepdims=True)
     var = jnp.mean((y - mu) ** 2, axis=-1, keepdims=True)
     ln = (y - mu) * jax.lax.rsqrt(var + eps) * lnw_ref[:] + lnb_ref[:]
-    h = jnp.dot(ln, w4_ref[:], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) + b4_ref[:]
+    h = jnp.dot(ln, w4_ref[:], preferred_element_type=jnp.float32) + b4_ref[:]
     c = y.shape[-1]
     g = h[:, :c] * h[:, c:]
-    out = jnp.dot(g, w5_ref[:], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) + b5_ref[:]
+    out = jnp.dot(g, w5_ref[:], preferred_element_type=jnp.float32) + b5_ref[:]
     out_ref[:] = y + g_ref[:] * out
 
 
@@ -93,7 +93,7 @@ def _expand_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, out_ref, *, eps: flo
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
     ln = (x - mu) * jax.lax.rsqrt(var + eps) * lnw_ref[:] + lnb_ref[:]
-    out_ref[:] = jnp.dot(ln, w1_ref[:], preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST) + b1_ref[:]
+    out_ref[:] = jnp.dot(ln, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
 
 
 def _expand_pallas(x2d, ln_w, ln_b, w1, b1, eps, interpret):
