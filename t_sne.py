@@ -24,6 +24,7 @@ def main() -> None:
     parser.add_argument("--labels", default="knns/run/lr_labels.npy")
     parser.add_argument("--out", default="knns/t_sne.png")
     parser.add_argument("--iters", type=int, default=2000)
+    parser.add_argument("--perplexity", type=float, default=30.0)
     args = parser.parse_args()
 
     from sklearn.manifold import TSNE
@@ -35,7 +36,7 @@ def main() -> None:
     print(label.shape, data.shape)
 
     print("Computing t-SNE embedding")
-    tsne = TSNE(n_components=2, verbose=1, max_iter=args.iters)
+    tsne = TSNE(n_components=2, verbose=1, max_iter=args.iters, perplexity=min(args.perplexity, max(1.0, data.shape[0] - 1.0)))
     tsne_results = tsne.fit_transform(data)
 
     import matplotlib

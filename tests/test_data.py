@@ -163,3 +163,22 @@ class TestConcatAndSampler:
         while pf.next() is not None:
             n += 1
         assert n == 2
+
+
+class TestMultiPairedDataset:
+    def test_multi_lq_concat(self, image_dirs, tmp_path):
+        """One GT vs a directory of LQ variants, concatenated channel-wise."""
+        import shutil
+
+        gt_dir, lq_dir = image_dirs
+        multi_root = tmp_path / "multi_lq"
+        for i in range(4):
+            d = multi_root / f"img{i}"
+            d.mkdir(parents=True)
+            for v in range(2):  # two LQ variants per GT
+                shutil.copy(os.path.join(lq_dir, f"img{i}.png"), d / f"v{v}.png")
+
+        ds = build_dataset(_opt(gt_dir, str(multi_root), type="MultiPairedImageDataset", multi=True))
+        sample = ds[0]
+        assert sample["lq"].shape[-1] == 6  # 2 variants × 3 channels
+        assert sample["gt"].shape[-1] == 3
