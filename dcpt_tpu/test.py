@@ -47,6 +47,12 @@ def test_pipeline(root_path: str, args=None):
     return results
 
 
+def main() -> None:
+    import os
+
+    test_pipeline(os.getcwd())
+
+
 if __name__ == "__main__":
     root_path = osp.abspath(osp.join(__file__, osp.pardir, osp.pardir))
     test_pipeline(root_path)

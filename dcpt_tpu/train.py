@@ -228,6 +228,10 @@ def train_pipeline(root_path: str, args=None):
     return model
 
 
+def main() -> None:
+    train_pipeline(os.getcwd())
+
+
 if __name__ == "__main__":
     root_path = osp.abspath(osp.join(__file__, osp.pardir, osp.pardir))
     train_pipeline(root_path)
