@@ -256,3 +256,18 @@ class TestSelfEnsembleCorrectness:
         model.feed_data({"lq": rng.random((1, 12, 16, 3)).astype(np.float32)})
         model.test_selfensemble()
         assert model.output.shape == (1, 12, 16, 3)
+
+
+class TestProfile:
+    def test_nondist_profile_smoke(self, train_model, tmp_path):
+        """Profiler reports latency/throughput and XLA-cost FLOPs."""
+        gt_dir, lq_dir = _make_images(str(tmp_path), n=2, size=(16, 16))
+        from dcpt_tpu.data import DataLoader, build_dataset
+
+        model, *_ = train_model
+        ds = build_dataset({
+            "name": "p", "phase": "test", "scale": 1, "type": "PairedImageDataset",
+            "io_backend": {"type": "disk"}, "dataroot_gt": gt_dir, "dataroot_lq": lq_dir,
+        })
+        out = model.nondist_profile(DataLoader(ds, batch_size=1), flops=True)
+        assert out["ms"] > 0 and out["mpix_per_s"] > 0
