@@ -27,7 +27,10 @@ def enable_pallas(flag: bool = True) -> None:
 
 from .fused_act import fused_bias_leaky_relu  # noqa: E402,F401
 from .layernorm2d import layer_norm_2d  # noqa: E402,F401
+from .ln_proj import fused_ln_proj  # noqa: E402,F401
 from .mdta import mdta_attention  # noqa: E402,F401
+from .naf_ffn import naf_expand, naf_ffn  # noqa: E402,F401
+from .window_attention import fused_window_attention  # noqa: E402,F401
 from .window_process import window_partition_fused, window_reverse_fused  # noqa: E402,F401
 
 __all__ = [
@@ -35,7 +38,11 @@ __all__ = [
     "enable_pallas",
     "layer_norm_2d",
     "fused_bias_leaky_relu",
+    "fused_ln_proj",
     "mdta_attention",
+    "naf_expand",
+    "naf_ffn",
+    "fused_window_attention",
     "window_partition_fused",
     "window_reverse_fused",
 ]
