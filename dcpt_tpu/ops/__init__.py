@@ -29,9 +29,11 @@ from .fused_act import fused_bias_leaky_relu  # noqa: E402,F401
 from .layernorm2d import layer_norm_2d  # noqa: E402,F401
 from .ln_proj import fused_ln_proj  # noqa: E402,F401
 from .mdta import mdta_attention  # noqa: E402,F401
-from .naf_ffn import naf_expand, naf_ffn  # noqa: E402,F401
+from .naf_ffn import naf_expand  # noqa: E402,F401
+from .naf_ffn import naf_ffn as fused_naf_ffn  # aliased: `naf_ffn` must stay the submodule attr
 from .window_attention import fused_window_attention  # noqa: E402,F401
 from .window_process import window_partition_fused, window_reverse_fused  # noqa: E402,F401
+from . import naf_ffn  # noqa: E402,F401  (restore the submodule binding)
 
 __all__ = [
     "pallas_enabled",
@@ -41,7 +43,7 @@ __all__ = [
     "fused_ln_proj",
     "mdta_attention",
     "naf_expand",
-    "naf_ffn",
+    "fused_naf_ffn",
     "fused_window_attention",
     "window_partition_fused",
     "window_reverse_fused",
