@@ -75,6 +75,12 @@ class MDTA(nn.Module):
     num_heads: int
     bias: bool = False
     use_softmax: bool = False  # the reference variant uses ReLU
+    # context parallelism: (mesh axis name, halo rows at THIS level's resolution).
+    # When set (requires running under shard_map with H sharded over that axis,
+    # see parallel/spatial.py), the pixel-axis sums behind the channel Gram and
+    # the q/k L2 norms become psums restricted to non-halo rows — making the
+    # attention GLOBALLY exact despite the spatial sharding.  Adds no params.
+    cp: tuple | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, pre_norm=None) -> jax.Array:
@@ -104,10 +110,25 @@ class MDTA(nn.Module):
         # loses end-to-end to XLA's whole-model fusion on v5e (PARITY.md), so
         # the attention math stays on the XLA path; the LN+qkv prefix fusion
         # (pre_norm above) is the measured win.
-        # L2-normalise along the pixel axis (torch F.normalize eps=1e-12)
-        qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
-        kn = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
-        attn = jnp.einsum("bhcp,bhdp->bhcd", qn, kn) * temperature
+        if self.cp is not None:
+            # Context-parallel: Gram and norms are pixel sums, so sharding L
+            # costs one O(C²) psum (parallel/spatial.py:spatial_mdta).  Halo
+            # rows are excluded so overlap pixels aren't double-counted; the
+            # result equals the full-image attention exactly.
+            axis, halo = self.cp
+            interior = slice(halo * w, (h - halo) * w) if halo > 0 else slice(None)
+            qi, ki = q[..., interior], k[..., interior]
+            gram = jax.lax.psum(jnp.einsum("bhcp,bhdp->bhcd", qi, ki), axis)
+            qn2 = jax.lax.psum(jnp.sum(qi * qi, axis=-1, keepdims=True), axis)
+            kn2 = jax.lax.psum(jnp.sum(ki * ki, axis=-1, keepdims=True), axis)
+            # rsqrt(max(n², 1e-24)) == 1/max(‖·‖, 1e-12): same eps semantics
+            attn = gram * jax.lax.rsqrt(jnp.maximum(qn2, 1e-24))
+            attn = attn * jnp.swapaxes(jax.lax.rsqrt(jnp.maximum(kn2, 1e-24)), -1, -2) * temperature
+        else:
+            # L2-normalise along the pixel axis (torch F.normalize eps=1e-12)
+            qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+            kn = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
+            attn = jnp.einsum("bhcp,bhdp->bhcd", qn, kn) * temperature
         attn = jax.nn.softmax(attn, axis=-1) if self.use_softmax else jax.nn.relu(attn)
         out = jnp.einsum("bhcd,bhdp->bhcp", attn, v)
 
@@ -151,6 +172,7 @@ class TransformerBlock(nn.Module):
     layernorm_bias: bool = False
     use_softmax: bool = False
     ln_eps: float = 1e-6
+    cp: tuple | None = None  # see MDTA.cp
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -160,7 +182,7 @@ class TransformerBlock(nn.Module):
         # break XLA's own fusions.  The hot path stays on XLA; the kernels and
         # the pre_norm plumbing remain tested for aligned-dim use.
         c = self.dim
-        x = x + MDTA(c, self.num_heads, self.bias, self.use_softmax, name="attn")(
+        x = x + MDTA(c, self.num_heads, self.bias, self.use_softmax, cp=self.cp, name="attn")(
             ChannelLayerNorm(c, self.layernorm_bias, name="norm1")(x)
         )
         x = x + GDFN(c, self.ffn_expansion_factor, self.bias, name="ffn")(
@@ -185,6 +207,15 @@ class _RestormerBody(nn.Module):
     scale: int = 1
     window_size: int = 8
     use_softmax: bool = False
+    # Context-parallel inference (SURVEY §5.7 extension): set cp_axis to a mesh
+    # axis name and run the apply under parallel.spatial.spatial_sharded_apply
+    # with halo=cp_halo (input-resolution rows, divisible by 8 so it survives
+    # the 3 downsample levels).  Convs stay halo-local (exact when cp_halo ≥
+    # receptive field, the test_tile contract), while every MDTA computes its
+    # GLOBAL pixel statistics exactly via psum.  Adds no params, so checkpoints
+    # load interchangeably with the plain model.
+    cp_axis: str | None = None
+    cp_halo: int = 0
 
     # tap-key style: 'prefix.body' for the SequentialTransformerBlock variant
     # (its count('.')==1 hookable module is the inner Sequential), 'prefix.{i}'
@@ -193,11 +224,15 @@ class _RestormerBody(nn.Module):
     # …distillation_model.py:88-93).
     tap_style: str = "body"
 
-    def _blocks(self, x, dim, head, n, prefix, taps):
+    def _blocks(self, x, dim, head, n, prefix, taps, factor: int = 1):
         ln_bias = self.LayerNorm_type != "BiasFree"
+        cp = None
+        if self.cp_axis is not None:
+            assert self.cp_halo % 8 == 0, "cp_halo must be divisible by 8 (3 downsample levels)"
+            cp = (self.cp_axis, self.cp_halo // factor)
         for i in range(n):
             x = TransformerBlock(
-                dim, head, self.ffn_expansion_factor, self.bias, ln_bias, self.use_softmax, name=f"{prefix}_{i}"
+                dim, head, self.ffn_expansion_factor, self.bias, ln_bias, self.use_softmax, cp=cp, name=f"{prefix}_{i}"
             )(x)
             if self.tap_style == "blocks":
                 taps[f"{prefix}.{i}"] = x
@@ -211,41 +246,41 @@ class _RestormerBody(nn.Module):
         taps: dict[str, jax.Array] = {}
 
         inp_enc1 = _conv(dim, 3, False, "patch_embed")(inp_img)
-        out_enc1 = self._blocks(inp_enc1, dim, self.heads[0], self.num_blocks[0], "encoder_level1", taps)
+        out_enc1 = self._blocks(inp_enc1, dim, self.heads[0], self.num_blocks[0], "encoder_level1", taps, factor=1)
 
         x = _conv(dim // 2, 3, False, "down1_2")(out_enc1)
         x = pixel_unshuffle(x, 2)
-        out_enc2 = self._blocks(x, dim * 2, self.heads[1], self.num_blocks[1], "encoder_level2", taps)
+        out_enc2 = self._blocks(x, dim * 2, self.heads[1], self.num_blocks[1], "encoder_level2", taps, factor=2)
 
         x = _conv(dim, 3, False, "down2_3")(out_enc2)
         x = pixel_unshuffle(x, 2)
-        out_enc3 = self._blocks(x, dim * 4, self.heads[2], self.num_blocks[2], "encoder_level3", taps)
+        out_enc3 = self._blocks(x, dim * 4, self.heads[2], self.num_blocks[2], "encoder_level3", taps, factor=4)
 
         x = _conv(dim * 2, 3, False, "down3_4")(out_enc3)
         x = pixel_unshuffle(x, 2)
-        latent = self._blocks(x, dim * 8, self.heads[3], self.num_blocks[3], "latent", taps)
+        latent = self._blocks(x, dim * 8, self.heads[3], self.num_blocks[3], "latent", taps, factor=8)
 
         x = _conv(dim * 16, 3, False, "up4_3")(latent)
         x = pixel_shuffle(x, 2)
         x = jnp.concatenate([x, out_enc3], axis=-1)
         x = _conv(dim * 4, 1, self.bias, "reduce_chan_level3")(x)
-        out_dec3 = self._blocks(x, dim * 4, self.heads[2], self.num_blocks[2], "decoder_level3", taps)
+        out_dec3 = self._blocks(x, dim * 4, self.heads[2], self.num_blocks[2], "decoder_level3", taps, factor=4)
 
         x = _conv(dim * 8, 3, False, "up3_2")(out_dec3)
         x = pixel_shuffle(x, 2)
         x = jnp.concatenate([x, out_enc2], axis=-1)
         x = _conv(dim * 2, 1, self.bias, "reduce_chan_level2")(x)
-        out_dec2 = self._blocks(x, dim * 2, self.heads[1], self.num_blocks[1], "decoder_level2", taps)
+        out_dec2 = self._blocks(x, dim * 2, self.heads[1], self.num_blocks[1], "decoder_level2", taps, factor=2)
 
         x = _conv(dim * 4, 3, False, "up2_1")(out_dec2)
         x = pixel_shuffle(x, 2)
         x = jnp.concatenate([x, out_enc1], axis=-1)
-        out_dec1 = self._blocks(x, dim * 2, self.heads[0], self.num_blocks[0], "decoder_level1", taps)
+        out_dec1 = self._blocks(x, dim * 2, self.heads[0], self.num_blocks[0], "decoder_level1", taps, factor=1)
 
         if skip_tail:
             return None, taps
 
-        out = self._blocks(out_dec1, dim * 2, self.heads[0], self.num_refinement_blocks, "refinement", taps)
+        out = self._blocks(out_dec1, dim * 2, self.heads[0], self.num_refinement_blocks, "refinement", taps, factor=1)
 
         if self.scale == 1:
             if self.dual_pixel_task:

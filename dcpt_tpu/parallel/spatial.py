@@ -11,9 +11,13 @@ the eval harness's padding convention.
 
 Accuracy has the same contract as ``test_tile``: exact when ``halo`` covers the
 conv receptive field; global-pool layers (NAFNet's SCA) see per-shard
-statistics unless the arch cooperates (see ``NAFBlock``'s TLSC local-stats
-mode, which makes statistics local by construction and is the recommended
-pairing — exactly why TLSC exists in the reference).
+statistics unless the arch cooperates.  Two archs do:
+
+* ``NAFBlock``'s TLSC local-stats mode makes statistics local by construction
+  (exactly why TLSC exists in the reference);
+* ``Restormer(cp_axis=..., cp_halo=...)`` routes every MDTA through
+  ``spatial_mdta``-style interior-masked psums, keeping its attention
+  statistics GLOBAL — seam-exact, beyond what ``test_tile`` can do.
 
 SURVEY §5.7 lists this as the genuine beyond-reference extension.
 """

@@ -58,6 +58,46 @@ class TestSpatialSharding:
         assert np.median(diff) < 0.05
 
 
+class TestRestormerContextParallel:
+    def test_cp_restormer_matches_full_image(self, rng):
+        """Restormer with cp_axis set: H-sharded inference == full-image
+        inference at the shard seams (MDTA global stats are exact via psum);
+        without cp the seams diverge (local stats)."""
+        from dcpt_tpu.archs.restormer_arch import Restormer
+        from dcpt_tpu.parallel import make_mesh
+        from dcpt_tpu.parallel.spatial import spatial_sharded_apply
+
+        kw = dict(dim=8, num_blocks=(1, 1, 1, 1), num_refinement_blocks=1, heads=(1, 1, 1, 1))
+        plain = Restormer(**kw)
+        cp_net = Restormer(**kw, cp_axis="data", cp_halo=64)
+
+        # structured input (vertical ramp + noise): per-shard pixel statistics
+        # genuinely differ, so the local-stats control visibly diverges.  Note
+        # halo must be < H/4 (the shard height) for the edge reflect-pad.
+        ramp = np.linspace(0.0, 1.0, 512, dtype=np.float32)[None, :, None, None]
+        x = jnp.asarray(ramp + 0.1 * rng.random((1, 512, 16, 3)).astype(np.float32))
+        params = plain.init(jax.random.PRNGKey(0), x)["params"]  # cp adds no params
+        full, _ = plain.apply({"params": params}, x)
+
+        mesh = make_mesh({"data": 4})
+        halo = 64  # ≥ conv receptive field of the tiny config
+        out_cp = spatial_sharded_apply(
+            lambda p, xs: cp_net.apply({"params": p}, xs)[0], params, x, mesh, halo=halo
+        )
+        out_local = spatial_sharded_apply(
+            lambda p, xs: plain.apply({"params": p}, xs)[0], params, x, mesh, halo=halo
+        )
+
+        # rows within `halo` of the image top/bottom differ by reflect-vs-zero
+        # edge padding (same caveat as test_pure_conv_exact); seams at rows
+        # 128/256/384 are inside the compared region.
+        interior = np.s_[:, halo:-halo]
+        diff_cp = np.abs(np.asarray(out_cp)[interior] - np.asarray(full)[interior]).max()
+        diff_local = np.abs(np.asarray(out_local)[interior] - np.asarray(full)[interior]).max()
+        assert diff_cp < 1e-4, f"context-parallel MDTA should be exact at seams, got {diff_cp}"
+        assert diff_local > 3 * diff_cp, f"local-stats control should diverge: {diff_local} vs {diff_cp}"
+
+
 class TestSpatialMDTA:
     def test_pixel_sharded_mdta_is_exact(self, rng):
         """Context-parallel MDTA: L-sharded result == single-device result exactly."""
