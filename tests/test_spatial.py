@@ -97,6 +97,31 @@ class TestRestormerContextParallel:
         assert diff_cp < 1e-4, f"context-parallel MDTA should be exact at seams, got {diff_cp}"
         assert diff_local > 3 * diff_cp, f"local-stats control should diverge: {diff_local} vs {diff_cp}"
 
+    def test_cp_restormer_2d_mesh(self, rng):
+        """dp×sp: batch over 'data', H over 'spatial', MDTA psums over
+        'spatial' only — the pod inference layout."""
+        from dcpt_tpu.archs.restormer_arch import Restormer
+        from dcpt_tpu.parallel import make_mesh
+        from dcpt_tpu.parallel.spatial import spatial_sharded_apply
+
+        kw = dict(dim=8, num_blocks=(1, 1, 1, 1), num_refinement_blocks=1, heads=(1, 1, 1, 1))
+        plain = Restormer(**kw)
+        cp_net = Restormer(**kw, cp_axis="spatial", cp_halo=64)
+
+        ramp = np.linspace(0.0, 1.0, 512, dtype=np.float32)[None, :, None, None]
+        x = jnp.asarray(ramp + 0.1 * rng.random((2, 512, 16, 3)).astype(np.float32))
+        params = plain.init(jax.random.PRNGKey(0), x[:1])["params"]
+        full, _ = plain.apply({"params": params}, x)
+
+        mesh = make_mesh({"data": 2, "spatial": 4})
+        halo = 64
+        out = spatial_sharded_apply(
+            lambda p, xs: cp_net.apply({"params": p}, xs)[0], params, x, mesh, halo=halo, axis="spatial"
+        )
+        interior = np.s_[:, halo:-halo]
+        diff = np.abs(np.asarray(out)[interior] - np.asarray(full)[interior]).max()
+        assert diff < 1e-4, f"2-D mesh cp inference should match full-image at seams, got {diff}"
+
 
 class TestSpatialMDTA:
     def test_pixel_sharded_mdta_is_exact(self, rng):
