@@ -171,7 +171,6 @@ class TransformerBlock(nn.Module):
     bias: bool = False
     layernorm_bias: bool = False
     use_softmax: bool = False
-    ln_eps: float = 1e-6
     cp: tuple | None = None  # see MDTA.cp
 
     @nn.compact
