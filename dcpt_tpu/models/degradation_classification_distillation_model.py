@@ -9,6 +9,18 @@ constant broadcast, :140-150).  Gradients reach ``net_g`` through both paths.
 The hook filter hard-codes Restormer_origin's last-encoder-block indices
 (:88-93) — reproduced by ``select_taps_restormer_origin``; other archs fall
 back to plain substring selection.
+
+Test-time quirks reproduced from the reference:
+* ``test()`` center-crops ``self.lq`` to 128 AFTER restoring (torchvision
+  ``center_crop`` semantics incl. zero-padding of smaller images,
+  :239-250) — the crop was input to a now-commented-out classifier call but
+  still changes the ``lq`` visual;
+* ``validation(...)`` takes per-loader ``clamp`` and ``dataset_idx`` args
+  (:264-283); ``clamp=False`` skips clamping, best-metric updates and
+  logging; ``dataset_idx`` is accepted (its only consumer is commented out
+  upstream, :362-367);
+* metrics are accumulated once per image path but computed over the FULL
+  batched visuals (:349-359) — a reference quirk kept for number parity.
 """
 
 from __future__ import annotations
@@ -17,14 +29,36 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..losses import build_loss
+from ..metrics import calculate_metric
 from ..utils.logger import get_root_logger
 from ..utils.registry import MODEL_REGISTRY
 from .dc_util import select_taps, select_taps_restormer_origin
 from .sr_model import SRModel
 from ..archs import build_network
+
+
+def center_crop_tv(x, size: int):
+    """torchvision ``F.center_crop`` on an NHWC array (reference crop at
+    …distillation_model.py:250 → torchvision/transforms/functional.py).
+
+    Pads with zeros when the image is smaller than the crop, then crops at
+    ``round((dim - size) / 2)`` — both behaviors matter for <128px val sets.
+    """
+    _, h, w, _ = x.shape
+    pad_l = (size - w) // 2 if size > w else 0
+    pad_t = (size - h) // 2 if size > h else 0
+    pad_r = (size - w + 1) // 2 if size > w else 0
+    pad_b = (size - h + 1) // 2 if size > h else 0
+    if pad_l or pad_t or pad_r or pad_b:
+        x = jnp.pad(x, ((0, 0), (pad_t, pad_b), (pad_l, pad_r), (0, 0)))
+        _, h, w, _ = x.shape
+    top = int(round((h - size) / 2.0))
+    left = int(round((w - size) / 2.0))
+    return x[:, top : top + size, left : left + size, :]
 
 
 @MODEL_REGISTRY.register()
@@ -126,3 +160,88 @@ class DCDistModel(SRModel):
             self.lq, self.gt, self.dataset_idx, lr,
         )
         self.log_dict = self.reduce_loss_dict(losses)
+
+    # ------------------------------------------------------------------
+    # Test / validation (reference: …distillation_model.py:239-460)
+    # ------------------------------------------------------------------
+
+    def test(self) -> None:
+        """Plain forward, then center-crop lq to 128 (:239-250)."""
+        self.pix_output = self._apply(self._infer_params(), self.lq)
+        self.output = self.pix_output
+        self.lq = center_crop_tv(self.lq, 128)
+
+    def post_test(self) -> None:
+        if "window_size" not in self.opt["network_g"]:
+            return
+        _, h, w, _ = self.pix_output.shape
+        self.pix_output = self.pix_output[
+            :, : h - self.mod_pad_h * self.scale, : w - self.mod_pad_w * self.scale, :
+        ]
+        self.output = self.pix_output
+
+    def get_current_visuals(self):
+        from collections import OrderedDict
+
+        out = OrderedDict()
+        out["lq"] = np.asarray(self.lq)
+        out["result"] = np.asarray(self.pix_output, dtype=np.float32)
+        if self.gt is not None:
+            out["gt"] = np.asarray(self.gt)
+        return out
+
+    def validation(self, dataloader, current_iter, tb_logger, save_img=False, clamp=True, dataset_idx=0):
+        if self.opt.get("dist"):
+            self.dist_validation(dataloader, current_iter, tb_logger, save_img, clamp, dataset_idx)
+        else:
+            self.nondist_validation(dataloader, current_iter, tb_logger, save_img, clamp, dataset_idx)
+
+    def dist_validation(self, dataloader, current_iter, tb_logger, save_img=False, clamp=True, dataset_idx=0):
+        if self.opt.get("rank", 0) == 0:
+            self.nondist_validation(dataloader, current_iter, tb_logger, save_img, clamp, dataset_idx)
+
+    def nondist_validation(self, dataloader, current_iter, tb_logger, save_img, clamp=True, dataset_idx=0):
+        dataset_name = dataloader.dataset.opt["name"]
+        with_metrics = self.opt["val"].get("metrics") is not None
+        if with_metrics:
+            if not hasattr(self, "metric_results"):
+                self.metric_results = {metric: 0 for metric in self.opt["val"]["metrics"].keys()}
+            self._initialize_best_metric_results(dataset_name)
+            self.metric_results = {metric: 0 for metric in self.metric_results}
+
+        idx = -1
+        for idx, val_data in enumerate(dataloader):
+            self.feed_data(val_data)
+            self.pre_test()
+            self.test()
+            self.post_test()
+
+            visuals = self.get_current_visuals()
+            result = visuals["result"]
+            gt = visuals.get("gt")
+            if clamp:
+                result = np.clip(result, 0, 1)
+                if gt is not None:
+                    gt = np.clip(gt, 0, 1)
+            del self.lq
+            self.pix_output = self.output = None
+            self.gt = None
+
+            if with_metrics:
+                # per-image-path accumulation over the FULL batch (:349-359)
+                for _ in val_data["lq_path"]:
+                    for name, opt_ in self.opt["val"]["metrics"].items():
+                        self.metric_results[name] += calculate_metric(
+                            {"img": result, "img2": gt}, dict(opt_, input_order="BHWC")
+                        )
+
+            if save_img:
+                self._save_validation_images(val_data, result, dataset_name, current_iter)
+
+        if with_metrics and idx >= 0:
+            for metric in self.metric_results.keys():
+                self.metric_results[metric] /= idx + 1
+                if clamp:
+                    self._update_best_metric_result(dataset_name, metric, self.metric_results[metric], current_iter)
+            if clamp:
+                self._log_validation_metric_values(current_iter, dataset_name, tb_logger)

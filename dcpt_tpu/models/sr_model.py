@@ -371,30 +371,7 @@ class SRModel(BaseModel):
                     self.metric_results["mae"] = 255 * np.abs(np.mean(result.clip(0, 1) - gt))
 
             if save_img:
-                for i, img_path in enumerate(val_data["lq_path"]):
-                    depth = self.opt.get("depth", 8)
-                    if depth == 16:
-                        sr_img = (result[i] * 65535.0).round().astype(np.uint16)
-                    else:
-                        sr_img = (result[i] * 255.0).round().astype(np.uint8)
-                    if sr_img.shape[-1] == 3:
-                        sr_img = cv2.cvtColor(sr_img, cv2.COLOR_RGB2BGR)
-                    elif sr_img.shape[-1] == 1:
-                        sr_img = sr_img[..., 0]
-                    img_name = osp.splitext(osp.basename(img_path))[0]
-                    if self.opt["is_train"]:
-                        save_img_path = osp.join(
-                            self.opt["path"]["visualization"], img_name, f"{img_name}_{current_iter}.png"
-                        )
-                    elif self.opt["val"].get("suffix"):
-                        save_img_path = osp.join(
-                            self.opt["path"]["visualization"], dataset_name, f'{img_name}_{self.opt["val"]["suffix"]}.png'
-                        )
-                    else:
-                        save_img_path = osp.join(
-                            self.opt["path"]["visualization"], dataset_name, f'{img_name}_{self.opt["name"]}.png'
-                        )
-                    imwrite(sr_img, save_img_path)
+                self._save_validation_images(val_data, result, dataset_name, current_iter)
 
         if with_metrics and idx >= 0:
             for metric in self.metric_results.keys():
@@ -403,6 +380,33 @@ class SRModel(BaseModel):
                     self._update_best_metric_result(dataset_name, metric, self.metric_results[metric], current_iter)
             if clamp:
                 self._log_validation_metric_values(current_iter, dataset_name, tb_logger)
+
+    def _save_validation_images(self, val_data, result, dataset_name, current_iter):
+        """8/16-bit PNG dump per image path (reference: sr_model.py:441-480)."""
+        for i, img_path in enumerate(val_data["lq_path"]):
+            depth = self.opt.get("depth", 8)
+            if depth == 16:
+                sr_img = (result[i] * 65535.0).round().astype(np.uint16)
+            else:
+                sr_img = (result[i] * 255.0).round().astype(np.uint8)
+            if sr_img.shape[-1] == 3:
+                sr_img = cv2.cvtColor(sr_img, cv2.COLOR_RGB2BGR)
+            elif sr_img.shape[-1] == 1:
+                sr_img = sr_img[..., 0]
+            img_name = osp.splitext(osp.basename(img_path))[0]
+            if self.opt["is_train"]:
+                save_img_path = osp.join(
+                    self.opt["path"]["visualization"], img_name, f"{img_name}_{current_iter}.png"
+                )
+            elif self.opt["val"].get("suffix"):
+                save_img_path = osp.join(
+                    self.opt["path"]["visualization"], dataset_name, f'{img_name}_{self.opt["val"]["suffix"]}.png'
+                )
+            else:
+                save_img_path = osp.join(
+                    self.opt["path"]["visualization"], dataset_name, f'{img_name}_{self.opt["name"]}.png'
+                )
+            imwrite(sr_img, save_img_path)
 
     def _log_validation_metric_values(self, current_iter, dataset_name, tb_logger):
         log_str = f"Validation {dataset_name}\n"

@@ -8,6 +8,7 @@ from .logger import AvgTimer, MessageLogger, get_env_info, get_root_logger, init
 from .matlab_functions import imresize
 from .misc import (
     check_resume,
+    check_resume_all_in_one,
     get_time_str,
     make_exp_dirs,
     mkdir_and_rename,
@@ -49,6 +50,7 @@ __all__ = [
     "init_tb_logger",
     "imresize",
     "check_resume",
+    "check_resume_all_in_one",
     "get_time_str",
     "make_exp_dirs",
     "mkdir_and_rename",

@@ -70,16 +70,19 @@ def scandir(dir_path: str, suffix: str | tuple | None = None, recursive: bool = 
     return _scandir(dir_path, suffix=suffix, recursive=recursive)
 
 
-def check_resume(opt: dict, resume_iter: int) -> None:
+def check_resume(opt: dict, resume_iter: int, remove_dc: bool = False) -> None:
     """Rewire pretrain paths when resuming (reference: misc.py:102-137).
 
     When ``path.resume_state`` is set, point every ``pretrain_network_*`` at the
     matching ``net_*_<iter>`` checkpoint in the run's model dir and switch EMA
     param keys back to ``params`` (an EMA snapshot resumes from raw params).
+    ``remove_dc`` drops ``network_dc`` from the rewiring (reference :110-112).
     """
     if not opt["path"].get("resume_state"):
         return
     networks = [key for key in opt.keys() if key.startswith("network_")]
+    if remove_dc:
+        networks.remove("network_dc")
     flag_pretrain = False
     for network in networks:
         if opt["path"].get(f"pretrain_{network}") is not None:
@@ -95,8 +98,29 @@ def check_resume(opt: dict, resume_iter: int) -> None:
             # our snapshots are .npz (the reference's were .pth)
             opt["path"][name] = osp.join(opt["path"]["models"], f"net_{basename}_{resume_iter}.npz")
             print(f"Set {name} to {opt['path'][name]}", flush=True)
-        param_key = f"param_key_{basename}"
-        if opt["path"].get(param_key) == "params_ema":
+    _switch_ema_param_keys(opt)
+
+
+def check_resume_all_in_one(opt: dict, resume_iter: int) -> None:
+    """All-in-one resume variant (reference: misc.py:140-164): only the
+    classifier net ``network_dc`` is rewired to the run's own snapshot — the
+    restoration net keeps its configured pretrain path."""
+    if not opt["path"].get("resume_state"):
+        return
+    if opt["path"].get("ignore_resume_networks") is None or (
+        "dc" not in opt["path"]["ignore_resume_networks"]
+    ):
+        opt["path"]["pretrain_network_dc"] = osp.join(
+            opt["path"]["models"], f"net_dc_{resume_iter}.npz"
+        )
+        print(f"Set pretrain_network_dc to {opt['path']['pretrain_network_dc']}", flush=True)
+    _switch_ema_param_keys(opt)
+
+
+def _switch_ema_param_keys(opt: dict) -> None:
+    """EMA snapshots resume from raw params (reference: misc.py:132-137,159-164)."""
+    for param_key in [key for key in opt["path"] if key.startswith("param_key")]:
+        if opt["path"][param_key] == "params_ema":
             opt["path"][param_key] = "params"
             print(f"Set {param_key} to params", flush=True)
 

@@ -227,3 +227,76 @@ logger:
         models_dir = tmp_path / "experiments" / "debug_tiny_dcpt" / "models"
         assert (models_dir / "net_g_latest.npz").exists()
         assert (models_dir / "net_dc_latest.npz").exists()
+
+
+class TestDCDistEval:
+    """Test-time quirks of the reference DCDistModel (:239-460)."""
+
+    def _eval_model(self, tmp_path):
+        from dcpt_tpu.models import build_model
+
+        opt = _base_opt(tmp_path)
+        opt["model_type"] = "DCDistModel"
+        opt["is_train"] = False
+        return build_model(opt), opt
+
+    def test_center_crop_128_after_restore(self, tmp_path, rng):
+        """test() restores, THEN center-crops lq to 128 (:239-250)."""
+        model, _ = self._eval_model(tmp_path)
+        lq = rng.random((1, 160, 144, 3)).astype(np.float32)
+        model.feed_data({"lq": lq})
+        model.pre_test()
+        model.test()
+        model.post_test()
+        assert model.pix_output.shape == (1, 160, 144, 3)
+        assert model.lq.shape == (1, 128, 128, 3)
+        # torchvision center_crop: top=round((160-128)/2)=16, left=round((144-128)/2)=8
+        np.testing.assert_array_equal(np.asarray(model.lq), lq[:, 16:144, 8:136, :])
+
+    def test_center_crop_pads_small_inputs(self, tmp_path, rng):
+        """torchvision pads with zeros when the image is smaller than 128."""
+        model, _ = self._eval_model(tmp_path)
+        lq = rng.random((1, 60, 40, 3)).astype(np.float32)
+        model.feed_data({"lq": lq})
+        model.pre_test()
+        model.test()
+        model.post_test()
+        got = np.asarray(model.lq)
+        assert got.shape == (1, 128, 128, 3)
+        np.testing.assert_array_equal(got[:, 34:94, 44:84, :], lq)
+        assert got[:, :34].sum() == 0 and got[:, 94:].sum() == 0
+        assert got[:, :, :44].sum() == 0 and got[:, :, 84:].sum() == 0
+
+    def test_validation_signature_and_batch_quirk(self, tmp_path, rng):
+        """validation takes clamp/dataset_idx; metrics accumulate once per
+        image path over the FULL batch (:349-359)."""
+        from types import SimpleNamespace
+
+        from dcpt_tpu.metrics import calculate_metric
+
+        model, opt = self._eval_model(tmp_path)
+        lq = rng.random((2, 16, 16, 3)).astype(np.float32)
+        gt = np.clip(lq + 0.02, 0, 1).astype(np.float32)
+        batch = {"lq": lq, "gt": gt, "lq_path": ["a.png", "b.png"]}
+
+        class _Loader:
+            dataset = SimpleNamespace(opt={"name": "dist_val"})
+
+            def __iter__(self):
+                return iter([batch])
+
+        model.validation(_Loader(), 1, None, save_img=False, clamp=True, dataset_idx=3)
+        restored = np.asarray(
+            model._apply(model.params_g, jnp.asarray(lq)), dtype=np.float32
+        ).clip(0, 1)
+        expect = calculate_metric(
+            {"img": restored, "img2": gt},
+            {"type": "calculate_psnr", "crop_border": 0, "image_range": 255.0, "input_order": "BHWC"},
+        )
+        # two lq_paths in one batch → metric counted twice, divided by 1 batch
+        assert model.metric_results["psnr"] == pytest.approx(2 * expect, rel=1e-5)
+        best_iter = model.best_metric_results["dist_val"]["psnr"]["iter"]
+
+        # clamp=False computes metrics but skips best-metric update + logging
+        model.validation(_Loader(), 2, None, save_img=False, clamp=False)
+        assert model.best_metric_results["dist_val"]["psnr"]["iter"] == best_iter

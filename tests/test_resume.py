@@ -181,3 +181,57 @@ logger:
             assert (states / "8.state").exists()
         finally:
             os.chdir(cwd)
+
+
+class TestCheckResumeAllInOne:
+    def test_rewires_only_dc(self, tmp_path):
+        """Reference misc.py:140-164 — only network_dc is rewired."""
+        from dcpt_tpu.utils.misc import check_resume_all_in_one
+
+        opt = {
+            "path": {
+                "resume_state": str(tmp_path / "7.state"),
+                "models": str(tmp_path / "models"),
+                "pretrain_network_g": "keep_me.pth",
+                "pretrain_network_dc": "replace_me.pth",
+                "param_key_g": "params_ema",
+            },
+            "network_g": {"type": "NAFNetBaseline"},
+            "network_dc": {"type": "PromptIR_NoImg_DC"},
+        }
+        check_resume_all_in_one(opt, 7)
+        assert opt["path"]["pretrain_network_g"] == "keep_me.pth"
+        assert opt["path"]["pretrain_network_dc"].endswith("net_dc_7.npz")
+        assert opt["path"]["param_key_g"] == "params"
+
+    def test_ignore_resume_networks(self, tmp_path):
+        from dcpt_tpu.utils.misc import check_resume_all_in_one
+
+        opt = {
+            "path": {
+                "resume_state": "x.state",
+                "models": "m",
+                "pretrain_network_dc": "keep.pth",
+                "ignore_resume_networks": ["dc"],
+            },
+            "network_dc": {"type": "PromptIR_NoImg_DC"},
+        }
+        check_resume_all_in_one(opt, 7)
+        assert opt["path"]["pretrain_network_dc"] == "keep.pth"
+
+    def test_check_resume_remove_dc(self, tmp_path):
+        """remove_dc skips the classifier net (reference misc.py:110-112)."""
+        from dcpt_tpu.utils.misc import check_resume
+
+        opt = {
+            "path": {
+                "resume_state": "x.state",
+                "models": str(tmp_path),
+                "pretrain_network_dc": "keep.pth",
+            },
+            "network_g": {"type": "NAFNetBaseline"},
+            "network_dc": {"type": "PromptIR_NoImg_DC"},
+        }
+        check_resume(opt, 3, remove_dc=True)
+        assert opt["path"]["pretrain_network_g"].endswith("net_g_3.npz")
+        assert opt["path"]["pretrain_network_dc"] == "keep.pth"
