@@ -271,3 +271,77 @@ class TestProfile:
         })
         out = model.nondist_profile(DataLoader(ds, batch_size=1), flops=True)
         assert out["ms"] > 0 and out["mpix_per_s"] > 0
+
+
+class TestGroupedTiler:
+    """The grouped static-shape tiler must match the reference-literal
+    per-tile loop exactly (VERDICT r1 item 5): ragged edges, batch>1,
+    scale>1, and chunking all covered."""
+
+    def test_ragged_edges_match_loop(self, train_model, rng):
+        model, *_ = train_model
+        # 40×56 image, 16px tiles, halo 4 → interior/edge/corner + ragged
+        # bottom row (40 % 16 = 8): a non-degenerate tiling
+        model.opt["tile"] = {"infer_size": 16, "tile_pad": 4, "chunk": 2}
+        lq = rng.random((1, 40, 56, 3)).astype(np.float32)
+        model.feed_data({"lq": lq})
+        model.test_tile()
+        grouped = np.asarray(model.output)
+        model.feed_data({"lq": lq})
+        model._test_tile_loop()
+        loop = np.asarray(model.output)
+        del model.opt["tile"]
+        np.testing.assert_allclose(grouped, loop, atol=2e-6)
+        assert not np.allclose(grouped, 0)
+
+    def test_batch_gt1_matches_loop(self, train_model, rng):
+        model, *_ = train_model
+        # 5×2 tile grid; the 3-tile middle-column groups span 2 chunks with a
+        # padded partial second chunk (chunk=2 tiles × batch 2)
+        model.opt["tile"] = {"infer_size": 8, "tile_pad": 4, "chunk": 2}
+        lq = rng.random((2, 40, 16, 3)).astype(np.float32)
+        model.feed_data({"lq": lq})
+        model.test_tile()
+        grouped = np.asarray(model.output)
+        model.feed_data({"lq": lq})
+        model._test_tile_loop()
+        loop = np.asarray(model.output)
+        del model.opt["tile"]
+        np.testing.assert_allclose(grouped, loop, atol=2e-6)
+
+    def test_scale_2_rcan_matches_loop(self, tmp_path, rng):
+        from dcpt_tpu.models import build_model
+
+        opt = {
+            "name": "tile_rcan",
+            "model_type": "SRModel",
+            "scale": 2,
+            "num_gpu": 1,
+            "manual_seed": 0,
+            "is_train": False,
+            "dist": False,
+            "rank": 0,
+            "world_size": 1,
+            "network_g": {
+                "type": "RCAN",
+                "num_feat": 8,
+                "num_group": 1,
+                "num_block": 1,
+                "squeeze_factor": 2,
+                "upscale": 2,
+                "h": 16,
+            },
+            "path": {"visualization": str(tmp_path / "vis"), "log": str(tmp_path)},
+            "val": {},
+            "tile": {"infer_size": 12, "tile_pad": 3, "chunk": 2},
+        }
+        model = build_model(opt)
+        lq = rng.random((1, 28, 30, 3)).astype(np.float32)
+        model.feed_data({"lq": lq})
+        model.test_tile()
+        grouped = np.asarray(model.output)
+        assert grouped.shape == (1, 56, 60, 3)
+        model.feed_data({"lq": lq})
+        model._test_tile_loop()
+        loop = np.asarray(model.output)
+        np.testing.assert_allclose(grouped, loop, atol=2e-6)
