@@ -155,10 +155,23 @@ class BaseModel:
             rec["iter"] = current_iter
 
     def reduce_loss_dict(self, loss_dict: dict) -> OrderedDict:
-        """Loss logging (reference: base_model.py:432-457).  Values produced by
-        jitted steps are already device means; under multi-host we log local
-        values (each host sees identical data-parallel means after psum inside
-        the step when configured)."""
+        """Loss logging (reference: base_model.py:432-457).
+
+        When the train step is jitted over one GLOBAL mesh the loss outputs
+        are already global means, so the local value is the reduced value.
+        When hosts run independent steps (per-host loops), set
+        ``train.reduce_losses: true`` to average the logged losses across
+        processes — the reference's ``dist.reduce``-to-rank-0 + world-size
+        divide, except every host gets the mean (allgather is one tiny host
+        collective either way)."""
+        if self.opt.get("dist") and (self.opt.get("train") or {}).get("reduce_losses"):
+            from jax.experimental import multihost_utils
+
+            keys = list(loss_dict)
+            local = np.asarray([float(loss_dict[k]) for k in keys], np.float32)
+            gathered = multihost_utils.process_allgather(local)
+            mean = np.asarray(gathered).reshape(-1, len(keys)).mean(axis=0)
+            return OrderedDict(zip(keys, (float(v) for v in mean)))
         return OrderedDict((k, float(v)) for k, v in loss_dict.items())
 
     # ------------------------------------------------------------------
@@ -261,8 +274,13 @@ class BaseModel:
         ``logger.keep_checkpoints`` (TPU extension) prunes old `.state` dirs,
         keeping the newest N — orbax-style retention.
         """
-        if current_iter == -1 or not self._is_master():
+        if current_iter == -1:
             return
+        if not self._is_master() and not self.opt.get("dist"):
+            return
+        # NOTE: under jax.distributed EVERY process must call orbax save —
+        # it synchronises globally and elects the primary host for the write;
+        # a master-only call deadlocks the fleet on the sync barrier.
         import orbax.checkpoint as ocp
 
         state = dict(state, epoch=epoch, iter=current_iter)
@@ -270,7 +288,7 @@ class BaseModel:
         with ocp.PyTreeCheckpointer() as ckptr:
             ckptr.save(os.path.abspath(path), state, force=True)
 
-        keep = (self.opt.get("logger") or {}).get("keep_checkpoints")
+        keep = (self.opt.get("logger") or {}).get("keep_checkpoints") if self._is_master() else None
         if keep:
             root = self.opt["path"]["training_states"]
             states = sorted(

@@ -42,7 +42,10 @@ def get_default_mesh(opt: dict | None = None) -> Mesh:
             mesh_shape = (opt.get("parallel") or {}).get("mesh_shape")
             num = opt.get("num_gpu")
             if mesh_shape is None and isinstance(num, int) and num > 0:
-                mesh_shape = {"data": min(num, len(jax.devices()))}
+                # num_gpu is per-host (reference semantics); the mesh is GLOBAL,
+                # so multi-host runs span world_size × num_gpu devices
+                total = num * opt.get("world_size", 1) if opt.get("dist") else num
+                mesh_shape = {"data": min(total, len(jax.devices()))}
         _default_mesh = make_mesh(mesh_shape)
     return _default_mesh
 

@@ -19,11 +19,14 @@ def init_dist(launcher: str = "jax", backend: str | None = None, **kwargs) -> No
 
     if launcher in ("none", None):
         return
+    if jax.distributed.is_initialized():
+        return
     try:
-        if not jax.distributed.is_initialized():
-            jax.distributed.initialize(**kwargs)
-    except Exception:  # already initialised or single-process
-        pass
+        jax.distributed.initialize(**kwargs)
+    except Exception as e:  # single-process fallback (no coordinator env)
+        import logging
+
+        logging.getLogger("dcpt_tpu").warning(f"jax.distributed.initialize failed ({e}); running single-process")
 
 
 def get_dist_info() -> tuple[int, int]:

@@ -14,6 +14,8 @@ import time
 
 import numpy as np
 
+from .dist_util import master_only
+
 
 def set_random_seed(seed: int) -> None:
     """Seed python + numpy (reference: misc.py:13-20). JAX keys are derived explicitly."""
@@ -34,8 +36,10 @@ def mkdir_and_rename(path: str) -> None:
     os.makedirs(path, exist_ok=True)
 
 
+@master_only
 def make_exp_dirs(opt: dict) -> None:
-    """Create the experiments/results directory layout (reference: misc.py:41-57)."""
+    """Create the experiments/results directory layout (reference: misc.py:40-57,
+    rank-0 only via ``master_only`` like the reference)."""
     path_opt = dict(opt["path"])
     if opt["is_train"]:
         mkdir_and_rename(path_opt.pop("experiments_root"))

@@ -234,7 +234,12 @@ def get_dist_info() -> tuple[int, int]:
 
 
 def copy_opt_file(opt_file: str, experiments_root: str) -> None:
-    """Archive the run's yml next to its outputs (reference: options.py:208-223)."""
+    """Archive the run's yml next to its outputs (reference: options.py:208-223,
+    rank-0 only like the reference's @master_only)."""
+    from .dist_util import get_dist_info
+
+    if get_dist_info()[0] != 0:
+        return
     import shutil
     import sys
     import time

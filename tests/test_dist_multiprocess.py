@@ -1,0 +1,111 @@
+"""True 2-process jax.distributed correctness (VERDICT r1 item 8).
+
+Spawns two CPU processes connected through a localhost coordinator (Gloo
+collectives) and exercises the real multi-host path end-to-end: ``init_dist``,
+``get_dist_info`` ranks, per-host ``EnlargedSampler`` slicing (disjoint +
+covering, reference data_sampler.py:30-43), cross-process
+``reduce_loss_dict`` averaging (reference base_model.py:432-457), global-mesh
+psum of a sharded array, and rank-0-only I/O via ``master_only``.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); port = sys.argv[2]; tmp = sys.argv[3]
+sys.path.insert(0, sys.argv[4])
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+
+from dcpt_tpu.utils.dist_util import init_dist, get_dist_info, master_only
+
+init_dist("jax", coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid)
+rank, world = get_dist_info()
+assert (rank, world) == (pid, 2), (rank, world)
+
+# per-host sampler slicing: disjoint, covering
+from dcpt_tpu.data.data_sampler import EnlargedSampler
+
+class _DS:
+    def __len__(self):
+        return 8
+
+sampler = EnlargedSampler(_DS(), num_replicas=world, rank=rank, ratio=2)
+local_idx = np.array(sorted(sampler), np.int32)
+assert len(local_idx) == 8  # ceil(8*2/2)
+
+from jax.experimental import multihost_utils
+all_idx = multihost_utils.process_allgather(local_idx)
+if rank == 0:
+    merged = np.sort(np.asarray(all_idx).ravel()) % 8
+    # the enlarged (ratio=2) epoch-0 permutation covers every index
+    assert set(merged.tolist()) == set(range(8)), merged
+
+# cross-process loss averaging (reference reduce_loss_dict semantics)
+from dcpt_tpu.models.base_model import BaseModel
+
+bm = BaseModel({"is_train": False, "rank": rank, "dist": True, "train": {"reduce_losses": True}})
+reduced = bm.reduce_loss_dict({"l_pix": float(rank + 1), "l_cls": float(10 * (rank + 1))})
+assert abs(reduced["l_pix"] - 1.5) < 1e-6, reduced
+assert abs(reduced["l_cls"] - 15.0) < 1e-6, reduced
+
+# global-mesh collective: psum over both processes' devices
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+mesh = Mesh(np.array(jax.devices()), ("data",))
+garr = multihost_utils.host_local_array_to_global_array(
+    np.full((1, 2), float(rank + 1), np.float32), mesh, P("data")
+)
+total = jax.jit(lambda x: jnp.sum(x), out_shardings=NamedSharding(mesh, P()))(garr)
+assert float(total) == 6.0, float(total)
+
+# rank-0-only I/O
+@master_only
+def _write():
+    with open(os.path.join(tmp, f"wrote_by_{rank}.txt"), "w") as f:
+        f.write("x")
+
+_write()
+multihost_utils.sync_global_devices("io_done")
+print(f"WORKER_OK rank={rank} loss={reduced['l_pix']}", flush=True)
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed(tmp_path):
+    worker_py = tmp_path / "worker.py"
+    worker_py.write_text(WORKER)
+    port = _free_port()
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)  # one device per process — real multi-host shape
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker_py), str(i), str(port), str(tmp_path), REPO],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {i} failed:\n{out}"
+        assert f"WORKER_OK rank={i} loss=1.5" in out, out
+    assert (tmp_path / "wrote_by_0.txt").exists()
+    assert not (tmp_path / "wrote_by_1.txt").exists()
