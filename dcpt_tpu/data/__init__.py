@@ -67,6 +67,8 @@ def build_dataloader(dataset, dataset_opt, num_gpu: int = 1, dist: bool = False,
             drop_last=True,
             num_workers=num_workers,
             seed=seed,
+            worker_mode=dataset_opt.get("worker_mode", "thread"),
+            rank=rank,
         )
     if phase == "test":
         return DataLoader(dataset, batch_size=1, shuffle=False, num_workers=0)

@@ -19,6 +19,29 @@ from typing import Any, Iterable
 import numpy as np
 
 
+def _process_worker(dataset, index_q, result_q, worker_id, num_workers, rank, seed):
+    """Worker-process loop.  Seeded with the reference's rule
+    ``worker_seed = num_workers * rank + worker_id + seed``
+    (reference: data/__init__.py:121-125)."""
+    import random as _random
+
+    try:
+        import cv2
+
+        cv2.setNumThreads(0)
+    except Exception:  # noqa: BLE001
+        pass
+    worker_seed = num_workers * rank + worker_id + (seed or 0)
+    np.random.seed(worker_seed)
+    _random.seed(worker_seed)
+    while True:
+        job = index_q.get()
+        if job is None:
+            return
+        seq, chunk = job
+        result_q.put((seq, [dataset[i] for i in chunk]))
+
+
 def default_collate(samples: list[dict]) -> dict[str, Any]:
     """Stack ndarray fields into (B, …) batches; everything else into lists."""
     batch: dict[str, Any] = {}
@@ -39,7 +62,16 @@ class DataLoader:
 
     Args mirror the subset of torch.utils.data.DataLoader the reference uses:
     batch_size, shuffle, sampler (index iterable), drop_last, num_workers
-    (thread count; 0 = synchronous).
+    (0 = synchronous).  ``worker_mode`` selects the concurrency substrate:
+
+    * ``"thread"`` (default) — a thread pool; cv2/numpy release the GIL in
+      the decode/degrade hot paths, and it shares memory with the consumer.
+    * ``"process"`` — forked worker processes like the reference's torch
+      DataLoader (data/__init__.py:50-118): GIL-free for Python-heavy
+      synthesis (stroke drawing, kernel sampling) at DCPT pre-train scale.
+      Each worker is seeded with the reference's rule
+      ``num_workers * rank + worker_id + seed`` and batches are re-ordered
+      to the deterministic index order.
     """
 
     def __init__(
@@ -53,6 +85,8 @@ class DataLoader:
         collate_fn=default_collate,
         seed: int | None = None,
         prefetch_batches: int = 2,
+        worker_mode: str = "thread",
+        rank: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -63,6 +97,10 @@ class DataLoader:
         self.collate_fn = collate_fn
         self.seed = seed
         self.prefetch_batches = max(1, prefetch_batches)
+        if worker_mode not in ("thread", "process"):
+            raise ValueError(f"worker_mode must be 'thread' or 'process', got {worker_mode!r}")
+        self.worker_mode = worker_mode
+        self.rank = rank
         self._epoch = itertools.count()
 
     def __len__(self):
@@ -85,10 +123,50 @@ class DataLoader:
                 return
             yield chunk
 
+    def _iter_processes(self):
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")
+        jobs = list(enumerate(self._index_batches()))
+        index_q = ctx.Queue()
+        # bounded results = backpressure: workers block once the consumer lags
+        result_q = ctx.Queue(maxsize=self.prefetch_batches + self.num_workers)
+        procs = [
+            ctx.Process(
+                target=_process_worker,
+                args=(self.dataset, index_q, result_q, w, self.num_workers, self.rank, self.seed),
+                daemon=True,
+            )
+            for w in range(self.num_workers)
+        ]
+        for p in procs:
+            p.start()
+        for job in jobs:
+            index_q.put(job)
+        for _ in procs:
+            index_q.put(None)
+        try:
+            buffered: dict[int, list] = {}
+            for want in range(len(jobs)):
+                while want not in buffered:
+                    seq, samples = result_q.get()
+                    buffered[seq] = samples
+                yield self.collate_fn(buffered.pop(want))
+            for p in procs:
+                p.join(timeout=10)
+        finally:
+            for p in procs:
+                if p.is_alive():
+                    p.terminate()
+                    p.join(timeout=5)
+
     def __iter__(self):
         if self.num_workers <= 0:
             for chunk in self._index_batches():
                 yield self.collate_fn([self.dataset[i] for i in chunk])
+            return
+        if self.worker_mode == "process":
+            yield from self._iter_processes()
             return
 
         executor = ThreadPoolExecutor(max_workers=self.num_workers)

@@ -182,3 +182,56 @@ class TestMultiPairedDataset:
         sample = ds[0]
         assert sample["lq"].shape[-1] == 6  # 2 variants × 3 channels
         assert sample["gt"].shape[-1] == 3
+
+
+class _SeedProbeDataset:
+    """Returns the worker's np.random stream — pins the reference seed rule."""
+
+    def __len__(self):
+        return 6
+
+    def __getitem__(self, idx):
+        return {"idx": idx, "v": np.random.random()}
+
+
+class TestProcessWorkers:
+    def test_process_mode_matches_sync_deterministic(self, image_dirs):
+        """On a randomness-free val dataset, process workers must reproduce the
+        synchronous loader's batches exactly, in order."""
+        from dcpt_tpu.data import DataLoader, build_dataset
+
+        gt_dir, lq_dir = image_dirs
+        ds = build_dataset({
+            "name": "t", "phase": "val", "scale": 1, "type": "PairedImageDataset",
+            "io_backend": {"type": "disk"}, "dataroot_gt": gt_dir, "dataroot_lq": lq_dir,
+        })
+        sync = list(DataLoader(ds, batch_size=2, num_workers=0))
+        proc = list(DataLoader(ds, batch_size=2, num_workers=2, worker_mode="process", seed=0))
+        assert len(sync) == len(proc)
+        for a, b in zip(sync, proc):
+            np.testing.assert_array_equal(a["lq"], b["lq"])
+            assert a["lq_path"] == b["lq_path"]
+
+    def test_worker_seed_rule(self):
+        """worker_seed = num_workers * rank + worker_id + seed
+        (reference: data/__init__.py:121-125)."""
+        from dcpt_tpu.data import DataLoader
+
+        ds = _SeedProbeDataset()
+        # single worker: its stream is np.random seeded with 1*3 + 0 + 10 = 13
+        loader = DataLoader(ds, batch_size=2, num_workers=1, worker_mode="process", seed=10, rank=3)
+        got = np.concatenate([b["v"] for b in loader])
+        rng_expect = np.random.RandomState(13)
+        np.testing.assert_allclose(got, rng_expect.random_sample(6), rtol=0, atol=0)
+
+    def test_two_workers_distinct_streams(self):
+        from dcpt_tpu.data import DataLoader
+
+        ds = _SeedProbeDataset()
+        loader = DataLoader(ds, batch_size=1, num_workers=2, worker_mode="process", seed=0)
+        vals = np.concatenate([b["v"] for b in loader])
+        # both reference worker streams (seeds 0 and 1) appear
+        s0 = np.random.RandomState(0).random_sample(6)
+        s1 = np.random.RandomState(1).random_sample(6)
+        assert any(np.isclose(v, s0[0]) for v in vals)
+        assert any(np.isclose(v, s1[0]) for v in vals)
