@@ -16,6 +16,30 @@ from scipy import linalg
 from ..utils.registry import METRIC_REGISTRY
 
 
+def load_inception_extractor(weights_path: str | None = None, resize_input: bool = True, normalize_input: bool = False):
+    """The reference's ``load_patched_inception_v3`` (fid.py:11-18), flax.
+
+    ``weights_path`` is an ``.npz`` produced by
+    ``scripts/convert_inception_weights.py`` from the pytorch-fid checkpoint;
+    ``None`` gives a random-init extractor (useful for plumbing tests only).
+    Returns a jitted ``NHWC [0,1] batch → (B, 2048)`` callable.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..archs.inception_arch import InceptionV3Features
+
+    net = InceptionV3Features(resize_input=resize_input, normalize_input=normalize_input)
+    if weights_path is not None:
+        from ..utils.tree_io import load_tree_npz
+
+        params = load_tree_npz(weights_path)["params"]
+    else:
+        params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))["params"]
+    fwd = jax.jit(lambda x: net.apply({"params": params}, x))
+    return lambda batch: fwd(jnp.asarray(batch))
+
+
 def extract_features(data_generator, extractor, len_generator=None):
     """Run the extractor over a generator of NHWC batches → (N, D) features."""
     features = []
