@@ -85,7 +85,7 @@ class WindowAttention(nn.Module):
 
         from ..ops import pallas_enabled
 
-        if pallas_enabled() and self.qkv_bias and self.qk_scale is None and c % 128 == 0:
+        if pallas_enabled() and self.qkv_bias and self.qk_scale is None and c % heads == 0:
             # fused qkv→softmax→PV→proj kernel (SURVEY §7: SwinIR is
             # small-matmul-bound; one VMEM pass per window tile)
             from ..ops.window_attention import fused_window_attention

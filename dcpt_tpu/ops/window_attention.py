@@ -6,6 +6,20 @@ SURVEY §7 "hard parts" flags SwinIR as small-matmul-bound: each 8×8 window is 
 proj) each round-trip HBM.  This kernel keeps a tile of windows resident in
 VMEM with the weights grid-resident, emitting only the final output.
 
+Lane-alignment design (v2): the shipped SwinIR has ``embed_dim=180`` with six
+30-dim heads — neither the channel axis nor the head stride is a multiple of
+the 128-lane VPU width, so the v1 layout (one fused ``(C, 3C)`` qkv weight +
+per-head lane *slices* at offsets 30·h) forced Mosaic lane shuffles on every
+head.  v2 avoids unaligned lane movement entirely:
+
+* q, k, v come from three separate ``(C, C)`` projections (the fused weight is
+  split once at trace time — free, outside the kernel);
+* each head's scores are computed by *masking* q and v over the (padded) lane
+  axis with an iota predicate and contracting over the FULL channel axis —
+  ``(q ⊙ m_h) @ k^T == q_h @ k_h^T`` exactly, because the zeroed lanes
+  annihilate k's other heads.  Outputs accumulate in place (the masks
+  partition the lanes), so the per-head concat is free too.
+
 Heads are unrolled (static, small); the per-tile batch runs as batched
 ``dot_general`` on the MXU.  Backward recomputes via the jnp reference.
 """
@@ -33,37 +47,45 @@ def window_attention_ref(x, wqkv, bqkv, wproj, bproj, num_heads: int):
     return out @ wproj + bproj
 
 
-def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, out_ref, *, num_heads: int):
+def _kernel(
+    x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref, wproj_ref, bproj_ref, out_ref,
+    *, num_heads: int,
+):
     t, n, c = x_ref.shape
     hd = c // num_heads
     scale = hd**-0.5
     x = x_ref[:].reshape(t * n, c)
-    qkv = jnp.dot(x, wqkv_ref[:], preferred_element_type=jnp.float32) + bqkv_ref[0]
-    qkv = qkv.reshape(t, n, 3 * c)
+    q = (jnp.dot(x, wq_ref[:], preferred_element_type=jnp.float32) + bq_ref[0]) * scale
+    k = jnp.dot(x, wk_ref[:], preferred_element_type=jnp.float32) + bk_ref[0]
+    v = jnp.dot(x, wv_ref[:], preferred_element_type=jnp.float32) + bv_ref[0]
+    q = q.reshape(t, n, c)
+    k = k.reshape(t, n, c)
+    v = v.reshape(t, n, c)
 
-    outs = []
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c), 2)
+    acc = jnp.zeros((t, n, c), jnp.float32)
     for h in range(num_heads):
-        q = qkv[:, :, h * hd : (h + 1) * hd] * scale
-        k = qkv[:, :, c + h * hd : c + (h + 1) * hd]
-        v = qkv[:, :, 2 * c + h * hd : 2 * c + (h + 1) * hd]
+        mask = ((lane >= h * hd) & (lane < (h + 1) * hd)).astype(jnp.float32)
         scores = jax.lax.dot_general(
-            q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            q * mask, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )
         attn = jax.nn.softmax(scores, axis=-1)
-        outs.append(
-            jax.lax.dot_general(
-                attn, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-            )
+        acc = acc + jax.lax.dot_general(
+            attn, v * mask, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )
-    merged = jnp.concatenate(outs, axis=-1).reshape(t * n, c)
-    out = jnp.dot(merged, wproj_ref[:], preferred_element_type=jnp.float32) + bproj_ref[0]
-    out_ref[:] = out.reshape(t, n, c).astype(out_ref.dtype)
+    out = jnp.dot(acc.reshape(t * n, c), wproj_ref[:], preferred_element_type=jnp.float32)
+    out_ref[:] = (out + bproj_ref[0]).reshape(t, n, c).astype(out_ref.dtype)
 
 
 def _pick_tile(nw: int, n: int, c: int) -> int:
-    budget = 2 * 1024 * 1024  # per input block
+    # ~9 live (t, n, c)-sized fp32 buffers (x, q, k, v, acc, per-head masked
+    # temps, scores) must fit the ~16 MB scoped-VMEM stack; keep them ≤ 10 MB.
+    c_pad = -(-c // 128) * 128
+    budget = 10 * 1024 * 1024 // 9
     for t in (64, 32, 16, 8, 4, 2, 1):
-        if nw % t == 0 and t * n * c * 4 <= budget:
+        if nw % t == 0 and t * n * c_pad * 4 <= budget:
             return t
     return 1
 
@@ -71,26 +93,28 @@ def _pick_tile(nw: int, n: int, c: int) -> int:
 def _wa_pallas(x, wqkv, bqkv, wproj, bproj, num_heads, interpret):
     nw, n, c = x.shape
     t = _pick_tile(nw, n, c)
+    wq, wk, wv = wqkv[:, :c], wqkv[:, c : 2 * c], wqkv[:, 2 * c :]
+    bq, bk, bv = bqkv[:c][None], bqkv[c : 2 * c][None], bqkv[2 * c :][None]
+    wspec = pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_kernel, num_heads=num_heads),
         grid=(nw // t,),
         in_specs=[
             pl.BlockSpec((t, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 3 * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            wspec, wspec, wspec, bspec, bspec, bspec, wspec, bspec,
         ],
         out_specs=pl.BlockSpec((t, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nw, n, c), x.dtype),
         interpret=interpret,
-    )(x, wqkv, bqkv[None], wproj, bproj[None])
+    )(x, wq, wk, wv, bq, bk, bv, wproj, bproj[None])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def fused_window_attention(x, wqkv, bqkv, wproj, bproj, num_heads: int, interpret: bool = False):
     """Fused W-MSA over (NW, N, C) windows (no rel-pos bias, per the modified
-    reference SwinIR)."""
+    reference SwinIR).  Requires only ``C % num_heads == 0`` — lane alignment
+    is handled inside (see module docstring)."""
     return _wa_pallas(x, wqkv, bqkv, wproj, bproj, num_heads, interpret)
 
 

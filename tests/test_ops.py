@@ -245,6 +245,20 @@ class TestWindowAttention:
         ref = window_attention_ref(x, wqkv, bqkv, wproj, bproj, heads)
         np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-5)
 
+    def test_fused_matches_reference_c180(self, rng):
+        """The shipped SwinIR's lane-unaligned dims: embed_dim 180, 6×30 heads."""
+        from dcpt_tpu.ops.window_attention import fused_window_attention, window_attention_ref
+
+        nw, n, c, heads = 6, 64, 180, 6
+        x = jnp.asarray(rng.standard_normal((nw, n, c)).astype(np.float32) * 0.2)
+        wqkv = jnp.asarray(rng.standard_normal((c, 3 * c)).astype(np.float32) * 0.05)
+        bqkv = jnp.asarray(rng.standard_normal(3 * c).astype(np.float32) * 0.02)
+        wproj = jnp.asarray(rng.standard_normal((c, c)).astype(np.float32) * 0.05)
+        bproj = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.02)
+        fused = fused_window_attention(x, wqkv, bqkv, wproj, bproj, heads, True)
+        ref = window_attention_ref(x, wqkv, bqkv, wproj, bproj, heads)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-5)
+
     def test_swinir_with_fused_attention_matches(self, rng):
         from dcpt_tpu.archs.swinir_arch import SwinIR
         from dcpt_tpu.ops import enable_pallas
