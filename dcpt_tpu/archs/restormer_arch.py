@@ -175,11 +175,16 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        # NOTE: the fused LN+proj prefix kernels (ops/ln_proj.py, supported by
-        # MDTA/GDFN via pre_norm) measured SLOWER end-to-end here (36→46 ms on
-        # v5e): Restormer's lane-unaligned dims (48/96/192/384) pad badly and
-        # break XLA's own fusions.  The hot path stays on XLA; the kernels and
-        # the pre_norm plumbing remain tested for aligned-dim use.
+        # NOTE: the hot path stays on XLA — deliberately.  Profiled on v5e
+        # (128px bs1, full ablation, PARITY.md "Restormer roofline"): the
+        # LayerNorms, dwconvs and head transposes are each ~free (XLA fuses
+        # them), per-op Pallas fusion LOSES (fused MDTA 7.4→22.9 ms; fused
+        # LN+proj 36→46 ms: lane-unaligned dims 48/96/192/384 pad badly and
+        # break XLA's surrounding fusions), and matmul-precision levers are
+        # within noise.  The model is HBM-bandwidth-bound across many small
+        # well-fused ops; the remaining ~2× headroom needs whole-block VMEM
+        # residency, which the 48-ch level-1 maps (16.8 MB lane-padded fp32)
+        # don't permit single-pass.  bf16 end-to-end gives the honest 1.43×.
         c = self.dim
         x = x + MDTA(c, self.num_heads, self.bias, self.use_softmax, cp=self.cp, name="attn")(
             ChannelLayerNorm(c, self.layernorm_bias, name="norm1")(x)

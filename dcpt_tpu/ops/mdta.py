@@ -23,8 +23,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# per-(batch·head) VMEM footprint guard: q,k,v,out at f32 + slack
-_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+# per-(batch·head) VMEM footprint guard for the single-shot kernel: q,k,v,out
+# at f32 PLUS normalised temporaries and the (c,c) attn live on the same
+# ~16 MB scoped stack, so leave real slack (12 MB let (48,16384)@bs8 request
+# 18 MB and OOM at compile time; the tiled path handles those shapes anyway)
+_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
 
 
 def mdta_ref(q, k, v, temperature, use_softmax: bool = False):

@@ -4,9 +4,12 @@ The reference scales with DDP data parallelism only (SURVEY §2.9:
 ``basicsr/utils/dist_util.py`` + DDP wrap in ``base_model.py:100-118``).  The
 TPU-native equivalent is a ``jax.sharding.Mesh`` with batch-dim
 ``NamedSharding``: jit compiles the gradient all-reduce onto ICI, replacing
-NCCL/DDP entirely.  The mesh axes here are ('data',) by default; model axes
-('tensor',) can be added via ``parallel.mesh_shape`` in the yml for archs that
-shard channels (see dryrun_multichip in ``__graft_entry__.py``).
+NCCL/DDP entirely.  The mesh axes here are ('data',) by default; a second
+implemented axis is 'spatial' — huge-image context parallelism that shards H
+across devices with halo exchange while keeping MDTA statistics globally
+exact (``parallel/spatial.py``, ``Restormer(cp_axis=..., cp_halo=...)``; both
+axes exercised together by ``dryrun_multichip`` in ``__graft_entry__.py``).
+Arbitrary axis names from ``parallel.mesh_shape`` in the yml are accepted.
 """
 
 from __future__ import annotations

@@ -280,6 +280,28 @@ class TestWindowAttention:
             wa._wa_pallas = orig
         np.testing.assert_allclose(np.asarray(fused), np.asarray(base), atol=2e-5)
 
+    def test_swinir_fused_attention_unaligned_dims(self, rng):
+        """Masked-head path through the arch: embed_dim 24, 3×8 heads (neither
+        lane-aligned) — the same code path the shipped c=180 model takes."""
+        from dcpt_tpu.archs.swinir_arch import SwinIR
+        from dcpt_tpu.ops import enable_pallas
+        import dcpt_tpu.ops.window_attention as wa
+
+        net = SwinIR(img_size=16, embed_dim=24, depths=(2, 2), num_heads=(3, 3), window_size=8, mlp_ratio=2.0, upscale=1, upsampler="")
+        x = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+        params = net.init(jax.random.PRNGKey(0), x)
+        base, _ = net.apply(params, x)
+
+        orig = wa._wa_pallas
+        wa._wa_pallas = lambda *a: orig(*a[:-1], True)
+        enable_pallas(True)
+        try:
+            fused, _ = net.apply(params, x)
+        finally:
+            enable_pallas(False)
+            wa._wa_pallas = orig
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(base), atol=2e-5)
+
     def test_naf_expand_matches(self, rng):
         from dcpt_tpu.ops.naf_ffn import naf_expand, naf_expand_ref
 
