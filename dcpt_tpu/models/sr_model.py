@@ -299,53 +299,66 @@ class SRModel(BaseModel):
         return tiles
 
     def test_tile(self) -> None:
-        """Static-shape grouped-batch tiler (reference loop: sr_model.py:273-361).
+        """Device-resident static-shape tiler (reference loop: sr_model.py:273-361).
 
         The reference forwards every tile separately — ceil(W/t)·ceil(H/t)
-        tiny launches and a fresh compile per ragged edge shape.  Here tiles
-        are grouped by patch geometry (at most 9 groups for any image:
-        interior / 4 edges / 4 corners, each possibly ragged) and each group
-        runs as batched forwards in fixed-size chunks: compiles are bounded
-        by the geometry set instead of the grid, and interior tiles saturate
-        the MXU as one batch.  Patches are exactly the reference's clamped
-        regions and batch elements are independent in every shipped arch, so
-        the output matches the reference tiler.
+        tiny launches, a fresh compile per ragged edge shape, and a host
+        round-trip per tile.  Here the WHOLE tiling is one jitted XLA
+        program: tiles are grouped by patch geometry (at most 9 groups for
+        any image: interior / 4 edges / 4 corners, each possibly ragged),
+        each group's patches are static slices of the on-device image,
+        forwards run as fixed-size batched chunks under ``lax.map`` (bounding
+        peak activation memory via ``tile.chunk``), and the de-haloed crops
+        paste into the output with static updates — one upload, one dispatch,
+        one download, which is what a tunnel/PCIe-attached chip needs.
+        Patches are exactly the reference's clamped regions and batch
+        elements are independent in every shipped arch, so the output matches
+        the reference tiler bit-for-bit.
         """
         batch, height, width, channel = self.lq.shape
         infer_size = self.opt["tile"]["infer_size"]
         tile_pad = self.opt["tile"]["tile_pad"]
         chunk = self.opt["tile"].get("chunk", 8)
         scale = self.scale
-        output = np.zeros((batch, height * scale, width * scale, channel), dtype=np.float32)
         params = self._infer_params()
-        lq_host = np.asarray(self.lq)
 
-        groups: dict = {}
-        for tile in self._tile_grid(height, width, infer_size, tile_pad, scale):
-            sy, ey, sx, ex = tile["src"]
-            key = (ey - sy, ex - sx, tile["crop"])
-            groups.setdefault(key, []).append(tile)
+        cache_key = ("tile", batch, height, width, channel, infer_size, tile_pad, chunk, scale)
+        if cache_key not in self._apply_cache:
+            groups: dict = {}
+            for tile in self._tile_grid(height, width, infer_size, tile_pad, scale):
+                sy, ey, sx, ex = tile["src"]
+                key = (ey - sy, ex - sx, tile["crop"])
+                groups.setdefault(key, []).append(tile)
+            net = self.net_g
 
-        for (ph, pw, crop), tiles in groups.items():
-            patches = np.stack([lq_host[:, t["src"][0] : t["src"][0] + ph, t["src"][2] : t["src"][2] + pw] for t in tiles])
-            n = len(tiles)
-            patches = patches.reshape(n * batch, ph, pw, channel)
-            outs = []
-            for start in range(0, n * batch, chunk * batch):
-                piece = patches[start : start + chunk * batch]
-                pad_n = chunk * batch - piece.shape[0]
-                if pad_n and n * batch > chunk * batch:
-                    # pad the final partial chunk to the fixed chunk shape so
-                    # every launch reuses one compile
-                    piece = np.concatenate([piece, np.repeat(piece[-1:], pad_n, axis=0)])
-                out = np.asarray(self._apply(params, jnp.asarray(piece)), dtype=np.float32)
-                outs.append(out[: out.shape[0] - pad_n] if pad_n and n * batch > chunk * batch else out)
-            out_tiles = np.concatenate(outs).reshape(n, batch, ph * scale, pw * scale, channel)
-            csy, cey, csx, cex = crop
-            for t, out_tile in zip(tiles, out_tiles):
-                osy, oey, osx, oex = t["dst"]
-                output[:, osy:oey, osx:oex] = out_tile[:, csy:cey, csx:cex]
-        self.output = jnp.asarray(output)
+            @jax.jit
+            def tiled_fwd(p, lq):
+                out_img = jnp.zeros((batch, height * scale, width * scale, channel), lq.dtype)
+                for (ph, pw, crop), tiles in groups.items():
+                    n = len(tiles)
+                    patches = jnp.concatenate(
+                        [lq[:, t["src"][0] : t["src"][0] + ph, t["src"][2] : t["src"][2] + pw] for t in tiles]
+                    )  # (n·b, ph, pw, c)
+                    k = -(-n * batch // (chunk * batch))
+                    pad_n = k * chunk * batch - n * batch
+                    if pad_n:
+                        patches = jnp.concatenate([patches, jnp.repeat(patches[-1:], pad_n, axis=0)])
+                    outs = jax.lax.map(
+                        lambda piece: net.apply({"params": p}, piece)[0],
+                        patches.reshape(k, chunk * batch, ph, pw, channel),
+                    )
+                    outs = outs.reshape(k * chunk * batch, ph * scale, pw * scale, channel)
+                    outs = outs[: n * batch].reshape(n, batch, ph * scale, pw * scale, channel)
+                    csy, cey, csx, cex = crop
+                    for i, t in enumerate(tiles):
+                        osy, oey, osx, oex = t["dst"]
+                        out_img = jax.lax.dynamic_update_slice(
+                            out_img, outs[i, :, csy:cey, csx:cex].astype(out_img.dtype), (0, osy, osx, 0)
+                        )
+                return out_img
+
+            self._apply_cache[cache_key] = tiled_fwd
+        self.output = self._apply_cache[cache_key](params, self.lq)
 
     def _test_tile_loop(self) -> None:
         """Reference-literal per-tile loop (sr_model.py:273-361) — kept as the
