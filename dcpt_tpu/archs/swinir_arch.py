@@ -85,7 +85,11 @@ class WindowAttention(nn.Module):
 
         from ..ops import pallas_enabled
 
-        if pallas_enabled() and self.qkv_bias and self.qk_scale is None and c % heads == 0:
+        # fp32-only: measured on v5e, the kernel wins 1.37-1.74x end-to-end in
+        # fp32 but loses 3x in bf16 (Mosaic bf16 relayouts of the masked-head
+        # blocks), and XLA-bf16 (20.8 ms @128px) is still slower than
+        # Pallas-fp32 (18.4 ms) — see PARITY.md "Pallas kernels"
+        if pallas_enabled() and self.qkv_bias and self.qk_scale is None and c % heads == 0 and x.dtype == jnp.float32:
             # fused qkv→softmax→PV→proj kernel (SURVEY §7: SwinIR is
             # small-matmul-bound; one VMEM pass per window tile)
             from ..ops.window_attention import fused_window_attention

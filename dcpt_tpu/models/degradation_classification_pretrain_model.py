@@ -62,22 +62,31 @@ class DCPTModel(DCModel):
         hook_names = self.hook_names
         tx_g, tx_dc = self.optimizer_g, self.optimizer_dc
         pixel_input = self._pixel_input
+        # mixed precision (TPU-native, same recipe as SRModel): bf16 compute
+        # with fp32 master params; losses and optimizer updates stay fp32
+        mixed = (self.opt.get("train") or {}).get("mixed_precision", False)
 
         @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
         def step(params_g, params_dc, opt_g, opt_dc, lq, gt, dataset_idx, lr_g, lr_dc):
             def loss_fn(pg, pdc):
+                if mixed:
+                    pg = jax.tree_util.tree_map(lambda t: t.astype(jnp.bfloat16), pg)
+                    pdc = jax.tree_util.tree_map(lambda t: t.astype(jnp.bfloat16), pdc)
+                    lq_c, gt_c = lq.astype(jnp.bfloat16), gt.astype(jnp.bfloat16)
+                else:
+                    lq_c, gt_c = lq, gt
                 losses = {}
                 total = 0.0
                 if cri_pixel is not None:
-                    pix_in = gt if pixel_input == "gt" else lq
+                    pix_in = gt_c if pixel_input == "gt" else lq_c
                     pix_output, _ = net_g.apply({"params": pg}, pix_in)
-                    l_pix = cri_pixel(pix_output, gt)
+                    l_pix = cri_pixel(pix_output.astype(jnp.float32), gt)
                     total += l_pix
                     losses["l_pix"] = l_pix
-                _, taps = net_g.apply({"params": pg}, lq, skip_tail=True)
+                _, taps = net_g.apply({"params": pg}, lq_c, skip_tail=True)
                 feats = select_taps(taps, hook_names)[::-1]
-                logits = net_dc.apply({"params": pdc}, lq, feats)
-                l_classify = cri_classify(logits, dataset_idx)
+                logits = net_dc.apply({"params": pdc}, lq_c, feats)
+                l_classify = cri_classify(logits.astype(jnp.float32), dataset_idx)
                 total += l_classify
                 losses["l_classify"] = l_classify
                 return total, losses

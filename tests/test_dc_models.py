@@ -90,6 +90,33 @@ class TestDCModel:
 
 
 class TestDCPTModel:
+    def test_mixed_precision_step(self, tmp_path, rng):
+        """bf16 compute / fp32 masters: both nets update, losses finite,
+        master params stay fp32 (same recipe as SRModel's mixed step)."""
+        from dcpt_tpu.models import build_model
+
+        opt = _base_opt(tmp_path)
+        opt["model_type"] = "DCPTModel"
+        opt["train"] = {
+            "optim_g": {"type": "Adam", "lr": 1e-3},
+            "optim_dc": {"type": "Adam", "lr": 1e-3},
+            "scheduler": {"type": "CosineAnnealingRestartLR", "periods": [10], "restart_weights": [1]},
+            "classify_opt": {"type": "CrossEntropyLoss"},
+            "pixel_opt": {"type": "L1Loss"},
+            "mixed_precision": True,
+            "total_iter": 4,
+        }
+        model = build_model(opt)
+        pg0 = np.asarray(jax.tree_util.tree_leaves(model.params_g)[0]).copy()
+        for it in range(1, 3):
+            model.update_learning_rate(it)
+            model.feed_data(_batch(rng))
+            model.optimize_parameters(it)
+        assert all(np.isfinite(v) for v in model.log_dict.values())
+        leaves = jax.tree_util.tree_leaves(model.params_g)
+        assert all(leaf.dtype == jnp.float32 for leaf in leaves)
+        assert not np.allclose(np.asarray(leaves[0]), pg0)
+
     @pytest.mark.parametrize("model_type", ["DCPTModel", "DCTModel"])
     def test_joint_training_updates_both_nets(self, tmp_path, rng, model_type):
         from dcpt_tpu.models import build_model
