@@ -109,14 +109,18 @@ class PromptIR(nn.Module):
     LayerNorm_type: str = "WithBias"
     decoder: bool = True
     window_size: int = 8
+    # gradient checkpointing: rematerialize each TransformerBlock in the
+    # backward pass (param-free option — checkpoints stay interchangeable)
+    remat: bool = False
 
     def _blocks(self, x, head, n, prefix, taps):
         # per-block tap keys: PromptIR levels are plain nn.Sequential in the
         # reference, so its count('.')==1 hookable modules are the individual
         # TransformerBlocks ('encoder_level1.0', …)
         ln_bias = self.LayerNorm_type != "BiasFree"
+        Block = nn.remat(PromptTransformerBlock) if self.remat else PromptTransformerBlock
         for i in range(n):
-            x = PromptTransformerBlock(
+            x = Block(
                 x.shape[-1], head, self.ffn_expansion_factor, self.bias, ln_bias, name=f"{prefix}_{i}"
             )(x)
             taps[f"{prefix}.{i}"] = x

@@ -220,6 +220,9 @@ class _RestormerBody(nn.Module):
     # load interchangeably with the plain model.
     cp_axis: str | None = None
     cp_halo: int = 0
+    # gradient checkpointing: rematerialize each TransformerBlock in the
+    # backward pass (param-free option — checkpoints stay interchangeable)
+    remat: bool = False
 
     # tap-key style: 'prefix.body' for the SequentialTransformerBlock variant
     # (its count('.')==1 hookable module is the inner Sequential), 'prefix.{i}'
@@ -234,8 +237,9 @@ class _RestormerBody(nn.Module):
         if self.cp_axis is not None:
             assert self.cp_halo % 8 == 0, "cp_halo must be divisible by 8 (3 downsample levels)"
             cp = (self.cp_axis, self.cp_halo // factor)
+        Block = nn.remat(TransformerBlock) if self.remat else TransformerBlock
         for i in range(n):
-            x = TransformerBlock(
+            x = Block(
                 dim, head, self.ffn_expansion_factor, self.bias, ln_bias, self.use_softmax, cp=cp, name=f"{prefix}_{i}"
             )(x)
             if self.tap_style == "blocks":

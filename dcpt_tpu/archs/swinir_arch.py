@@ -178,6 +178,7 @@ class RSTB(nn.Module):
     qkv_bias: bool = True
     qk_scale: float | None = None
     resi_connection: str = "1conv"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -188,9 +189,10 @@ class RSTB(nn.Module):
         if res <= ws:
             ws = res
         shortcut = x
+        Block = nn.remat(SwinTransformerBlock) if self.remat else SwinTransformerBlock
         for i in range(self.depth):
             ss = 0 if (i % 2 == 0 or res <= self.window_size) else ws // 2
-            x = SwinTransformerBlock(
+            x = Block(
                 self.dim, self.num_heads, ws, ss, self.mlp_ratio, self.qkv_bias, self.qk_scale,
                 name=f"residual_group_blocks_{i}",
             )(x)
@@ -225,6 +227,9 @@ class SwinIR(nn.Module):
     img_range: float = 1.0
     upsampler: str = ""
     resi_connection: str = "1conv"
+    # gradient checkpointing: rematerialize each SwinTransformerBlock in the
+    # backward pass (param-free option — checkpoints stay interchangeable)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, skip_tail: bool = False, deterministic: bool = True):
@@ -257,14 +262,15 @@ class SwinIR(nn.Module):
                 f = RSTB(
                     embed_dim, patches_resolution, self.depths[i], self.num_heads[i],
                     self.window_size, self.mlp_ratio, self.qkv_bias, self.qk_scale,
-                    self.resi_connection, name=f"encode_layers_{i}",
+                    self.resi_connection, remat=self.remat, name=f"encode_layers_{i}",
                 )(f)
                 taps[f"encode_layers.{i}"] = f
             for i in range(num_layers // 2):
                 f = RSTB(
                     embed_dim, patches_resolution, self.depths[i + num_layers // 2],
                     self.num_heads[i + num_layers // 2], self.window_size, self.mlp_ratio,
-                    self.qkv_bias, self.qk_scale, self.resi_connection, name=f"decode_layers_{i}",
+                    self.qkv_bias, self.qk_scale, self.resi_connection, remat=self.remat,
+                    name=f"decode_layers_{i}",
                 )(f)
                 taps[f"decode_layers{i}.residual_group"] = f
             return TorchLayerNorm(embed_dim, name="norm")(f)
