@@ -105,7 +105,10 @@ class LayerNorm2d(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.channels,))
         from ..ops import pallas_enabled
 
-        if pallas_enabled():
+        # c ≥ 512 only: measured per-stage on v5e at bs16 (PARITY.md "NAFNet
+        # kernel A/B") the kernel wins 21% at c=512 but loses at c ≤ 256
+        # (c=64's 2× lane padding costs 22%) — XLA's fusion is better there
+        if pallas_enabled() and self.channels % 128 == 0 and self.channels >= 512:
             from ..ops import layer_norm_2d
 
             return layer_norm_2d(x, weight, bias, self.eps)

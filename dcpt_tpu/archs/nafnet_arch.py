@@ -52,19 +52,15 @@ class NAFBlock(nn.Module):
         dw = c * self.dw_expand
         ffn = c * self.ffn_expand
 
-        from ..ops import pallas_enabled
-
-        if pallas_enabled() and c % 128 == 0 and c <= 512:
-            # fused LN + 1×1 expand (one VMEM pass), then the depthwise conv
-            from ..ops.naf_ffn import naf_expand
-            from .arch_util import _ConvParamHolder, _NormParamHolder
-
-            n1_w, n1_b = _NormParamHolder(c, name="norm1")()
-            w1, b1 = _ConvParamHolder(c, dw, name="conv1")()
-            x = naf_expand(inp, n1_w, n1_b, w1.reshape(c, dw), b1)
-        else:
-            x = LayerNorm2d(c, name="norm1")(inp)
-            x = conv2d(dw, 1, name="conv1", in_features=c)(x)
+        # NOTE: the attention branch deliberately does NOT use the fused
+        # LN+expand kernel (ops/naf_ffn.naf_expand): its output feeds the
+        # grouped depthwise conv below, and on v5e a dot/custom-call producer
+        # in front of a grouped conv falls off a compiler cliff (~10× — 67.5
+        # vs 7.2 ms on the bs16 c=512 stage; any dot-formulated expand does,
+        # even pure-XLA einsum — PARITY.md "NAFNet kernel A/B").  The LN
+        # kernel below + XLA's conv1x1 keep the producer a convolution.
+        x = LayerNorm2d(c, name="norm1")(inp)
+        x = conv2d(dw, 1, name="conv1", in_features=c)(x)
         x = conv2d(dw, 3, groups=dw, name="conv2", in_features=dw)(x)
         x = simple_gate(x)
 
@@ -88,7 +84,9 @@ class NAFBlock(nn.Module):
 
         from ..ops import pallas_enabled
 
-        if pallas_enabled() and self.drop_out_rate == 0 and c % 128 == 0 and c <= 512:
+        # c == 512 only (the flagship's 30-block deep stage): measured wins
+        # 13% there at bs16 but loses at c ≤ 256 (PARITY.md "NAFNet kernel A/B")
+        if pallas_enabled() and self.drop_out_rate == 0 and c % 128 == 0 and c == 512:
             # fused FFN branch (LN → expand → gate → project → residual) in one
             # VMEM pass; param tree identical to the module path below
             from ..ops.naf_ffn import naf_ffn

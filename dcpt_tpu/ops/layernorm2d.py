@@ -25,11 +25,25 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _pick_tile(rows: int) -> int:
-    for t in (512, 256, 128, 64, 32, 16, 8):
-        if rows % t == 0:
+def _pick_tile(rows: int, c: int) -> int:
+    """Largest row tile with ~4 live (tile, c_pad) fp32 buffers under ~8 MB.
+
+    Rows-only picking capped at 512 made bs-16 full-res maps run as
+    512-instance grids of trivial blocks — grid overhead swamped the fusion
+    win (the round-2 bs16 'Pallas collapse', PARITY.md)."""
+    c_pad = _round_up(c, 128)
+    budget = 8 * 1024 * 1024 // (4 * 4 * c_pad)
+    for t in (8192, 4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
+        if rows % t == 0 and t <= budget:
             return t
     return rows
+
+
+def _fwd_kernel_primal(x_ref, w_ref, b_ref, out_ref, *, eps: float):
+    x = x_ref[:]
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    out_ref[:] = (x - mu) * jax.lax.rsqrt(var + eps) * w_ref[:] + b_ref[:]
 
 
 def _fwd_kernel(x_ref, w_ref, b_ref, out_ref, y_ref, rsig_ref, *, eps: float):
@@ -51,9 +65,28 @@ def _bwd_kernel(g_ref, y_ref, rsig_ref, w_ref, gx_ref):
     gx_ref[:] = rsig_ref[:] * (g - y * mean_gy - mean_g)
 
 
+def _fwd_call_primal(x2d, w, b, eps: float, interpret: bool):
+    """Inference/primal forward: emits only ``out`` — no residual writes."""
+    rows, c = x2d.shape
+    tile = _pick_tile(rows, c)
+    grid = (rows // tile,)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_primal, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, c), x2d.dtype),
+        interpret=interpret,
+    )(x2d, w[None, :], b[None, :])
+
+
 def _fwd_call(x2d, w, b, eps: float, interpret: bool):
     rows, c = x2d.shape
-    tile = _pick_tile(rows)
+    tile = _pick_tile(rows, c)
     grid = (rows // tile,)
     out, y, rsig = pl.pallas_call(
         functools.partial(_fwd_kernel, eps=eps),
@@ -80,7 +113,7 @@ def _fwd_call(x2d, w, b, eps: float, interpret: bool):
 
 def _bwd_call(g2d, y, rsig, w, interpret: bool):
     rows, c = g2d.shape
-    tile = _pick_tile(rows)
+    tile = _pick_tile(rows, c)
     grid = (rows // tile,)
     return pl.pallas_call(
         _bwd_kernel,
@@ -99,8 +132,14 @@ def _bwd_call(g2d, y, rsig, w, interpret: bool):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def layer_norm_2d(x, weight, bias, eps: float = 1e-6, interpret: bool = False):
-    """Channel LayerNorm over NHWC (or any (..., C)) via a fused Pallas kernel."""
-    return _ln_fwd(x, weight, bias, eps, interpret)[0]
+    """Channel LayerNorm over NHWC (or any (..., C)) via a fused Pallas kernel.
+
+    The primal (inference) path writes only ``out``; the residuals for the
+    analytic VJP (``y``, ``rsigma``) are produced only under differentiation
+    (``_ln_fwd``) — saving 2× the HBM writes when just inferring."""
+    shape = x.shape
+    x2d = x.reshape(-1, shape[-1])
+    return _fwd_call_primal(x2d, weight, bias, eps, interpret).reshape(shape)
 
 
 def _ln_fwd(x, weight, bias, eps, interpret):

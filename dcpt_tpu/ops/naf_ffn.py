@@ -46,16 +46,25 @@ def _kernel(y_ref, lnw_ref, lnb_ref, w4_ref, b4_ref, w5_ref, b5_ref, g_ref, out_
     out_ref[:] = y + g_ref[:] * out
 
 
-def _pick_tile(rows: int) -> int:
+def _pick_tile(rows: int, c: int, c_out: int) -> int:
+    """Largest row tile whose live VMEM set fits the ~16 MB scoped stack.
+
+    Live fp32 buffers per instance: x/ln (tile, c), h (tile, c_out), gate +
+    out (tile, c), plus the grid-resident weights (c·c_out + (c_out//2)·c or
+    c·c_out alone for the expand kernel).  The flagship deep stage (c=512,
+    c_out=1024) OOMs at tile 1024 — rows-only picking chose exactly that for
+    batch≥16, which is why the fused path collapsed there (PARITY.md)."""
+    weights = 4 * (c * c_out + (c_out // 2) * c)
+    budget = 10 * 1024 * 1024 - weights
     for t in (1024, 512, 256, 128, 64, 32, 16, 8):
-        if rows % t == 0:
+        if rows % t == 0 and 4 * t * (3 * c + 2 * c_out) <= budget:
             return t
-    return rows
+    return 8 if rows % 8 == 0 else rows
 
 
 def _ffn_pallas(y2d, ln_w, ln_b, w4, b4, w5, b5, gamma, eps, interpret):
     rows, c = y2d.shape
-    tile = _pick_tile(rows)
+    tile = _pick_tile(rows, c, w4.shape[1])
     row_spec = pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     vec = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM)  # noqa: E731
     return pl.pallas_call(
@@ -99,7 +108,7 @@ def _expand_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, out_ref, *, eps: flo
 def _expand_pallas(x2d, ln_w, ln_b, w1, b1, eps, interpret):
     rows, c = x2d.shape
     c_out = w1.shape[1]
-    tile = _pick_tile(rows)
+    tile = _pick_tile(rows, c, c_out)
     vec = lambda n: pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM)  # noqa: E731
     return pl.pallas_call(
         functools.partial(_expand_kernel, eps=eps),
@@ -118,7 +127,13 @@ def _expand_pallas(x2d, ln_w, ln_b, w1, b1, eps, interpret):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def naf_expand(x, ln_w, ln_b, w1, b1, eps: float = 1e-6, interpret: bool = False):
-    """Fused LN + 1×1 expand over (..., c) → (..., c_out)."""
+    """Fused LN + 1×1 expand over (..., c) → (..., c_out).
+
+    NOT wired into NAFBlock's attention branch: on v5e, any non-convolution
+    producer (this custom call, or even a pure-XLA dot/einsum) in front of
+    the grouped depthwise conv that follows compiles ~10× slower at batch
+    (67.5 vs 7.2 ms on the bs16 c=512 stage — measured round 2, PARITY.md).
+    Kept (and parity-tested) for fusion sites with conv-free consumers."""
     c = x.shape[-1]
     shape = x.shape
     x2d = x.reshape(-1, c)

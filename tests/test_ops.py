@@ -208,7 +208,9 @@ class TestNafFFN:
         import dcpt_tpu.ops.layernorm2d as ln_mod
         import dcpt_tpu.ops.mdta as mdta_mod
 
-        net = NAFNetBaseline(width=128, enc_blk_nums=(1,), middle_blk_num=1, dec_blk_nums=(1,))
+        # width 256 → middle stage c=512, the only stage the fused FFN + LN
+        # kernels fire at after the measured c≥512 gating
+        net = NAFNetBaseline(width=256, enc_blk_nums=(1,), middle_blk_num=1, dec_blk_nums=(1,))
         x = jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32))
         params = net.init(jax.random.PRNGKey(0), x)
         base, _ = net.apply(params, x)
@@ -216,10 +218,12 @@ class TestNafFFN:
         orig_ffn = nf._ffn_pallas
         orig_exp = nf._expand_pallas
         orig_ln_fwd, orig_ln_bwd = ln_mod._fwd_call, ln_mod._bwd_call
+        orig_ln_primal = ln_mod._fwd_call_primal
         nf._ffn_pallas = lambda *a: orig_ffn(*a[:-1], True)
         nf._expand_pallas = lambda *a: orig_exp(*a[:-1], True)
         ln_mod._fwd_call = lambda *a: orig_ln_fwd(*a[:-1], True)
         ln_mod._bwd_call = lambda *a: orig_ln_bwd(*a[:-1], True)
+        ln_mod._fwd_call_primal = lambda *a: orig_ln_primal(*a[:-1], True)
         enable_pallas(True)
         try:
             fused, _ = net.apply(params, x)
@@ -228,6 +232,7 @@ class TestNafFFN:
             nf._ffn_pallas = orig_ffn
             nf._expand_pallas = orig_exp
             ln_mod._fwd_call, ln_mod._bwd_call = orig_ln_fwd, orig_ln_bwd
+            ln_mod._fwd_call_primal = orig_ln_primal
         np.testing.assert_allclose(np.asarray(fused), np.asarray(base), atol=2e-5)
 
 
