@@ -119,20 +119,24 @@ class LayerNorm2d(nn.Module):
 
 
 class _ConvParamHolder(nn.Module):
-    """Declares 1×1-conv params (kernel HWIO [+ bias]) without running the conv
-    — lets fused Pallas paths share the exact param tree of an ``nn.Conv``."""
+    """Declares conv params (kernel HWIO [+ bias]) without running the conv —
+    lets fused Pallas paths share the exact param tree of an ``nn.Conv``.
+    ``in_features`` is the per-group input width (== in channels for ungrouped
+    convs, 1 for depthwise)."""
 
     in_features: int
     features: int
     use_bias: bool = True
     kernel_init: object = None  # default: torch conv init
+    kernel_size: int = 1
 
     @nn.compact
     def __call__(self):
         kinit = self.kernel_init if self.kernel_init is not None else torch_conv_kernel_init
-        kernel = self.param("kernel", kinit, (1, 1, self.in_features, self.features))
+        k = self.kernel_size
+        kernel = self.param("kernel", kinit, (k, k, self.in_features, self.features))
         if self.use_bias:
-            bias = self.param("bias", torch_bias_init(self.in_features), (self.features,))
+            bias = self.param("bias", torch_bias_init(self.in_features * k * k), (self.features,))
             return kernel, bias
         return kernel, None
 

@@ -52,17 +52,29 @@ class NAFBlock(nn.Module):
         dw = c * self.dw_expand
         ffn = c * self.ffn_expand
 
-        # NOTE: the attention branch deliberately does NOT use the fused
-        # LN+expand kernel (ops/naf_ffn.naf_expand): its output feeds the
-        # grouped depthwise conv below, and on v5e a dot/custom-call producer
-        # in front of a grouped conv falls off a compiler cliff (~10× — 67.5
-        # vs 7.2 ms on the bs16 c=512 stage; any dot-formulated expand does,
-        # even pure-XLA einsum — PARITY.md "NAFNet kernel A/B").  The LN
-        # kernel below + XLA's conv1x1 keep the producer a convolution.
-        x = LayerNorm2d(c, name="norm1")(inp)
-        x = conv2d(dw, 1, name="conv1", in_features=c)(x)
-        x = conv2d(dw, 3, groups=dw, name="conv2", in_features=dw)(x)
-        x = simple_gate(x)
+        from ..ops import pallas_enabled
+        from ..ops.naf_prefix import naf_prefix, prefix_fits
+
+        _, bh, bw, _ = inp.shape
+        # Fused LN+expand+dwconv+gate, one VMEM pass — the dwconv must stay
+        # INSIDE the kernel: on v5e any dot/custom-call producer in front of
+        # a grouped depthwise conv falls off a ~10× compiler cliff (67.5 vs
+        # 7.2 ms on the bs16 c=512 stage; even a pure-XLA einsum expand does
+        # — PARITY.md "NAFNet kernel A/B"), which is what sank the round-1
+        # LN+expand-only fusion.  Gated to the deep stage where kernels
+        # measurably win and the whole (H, W, 2C) map fits VMEM.
+        if pallas_enabled() and c == 512 and prefix_fits(bh, bw, c, dw):
+            from .arch_util import _ConvParamHolder, _NormParamHolder
+
+            n1_w, n1_b = _NormParamHolder(c, name="norm1")()
+            w1, b1 = _ConvParamHolder(c, dw, name="conv1")()
+            w2, b2 = _ConvParamHolder(1, dw, kernel_size=3, name="conv2")()
+            x = naf_prefix(inp, n1_w, n1_b, w1.reshape(c, dw), b1, w2.reshape(3, 3, dw), b2)
+        else:
+            x = LayerNorm2d(c, name="norm1")(inp)
+            x = conv2d(dw, 1, name="conv1", in_features=c)(x)
+            x = conv2d(dw, 3, groups=dw, name="conv2", in_features=dw)(x)
+            x = simple_gate(x)
 
         # Simplified Channel Attention: pooled stats → 1×1 conv → scale
         if self.local_stats:

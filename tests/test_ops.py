@@ -200,16 +200,37 @@ class TestNafFFN:
         g2 = jax.grad(lambda y: jnp.sum(naf_ffn_ref(y.reshape(-1, c), ln_w, ln_b, w4, b4, w5, b5, gamma) ** 2))(y)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-3)
 
+    def test_naf_prefix_matches(self, rng):
+        """Fused LN+expand+dwconv+gate kernel == jnp reference (fwd + grads)."""
+        from dcpt_tpu.ops.naf_prefix import naf_prefix, naf_prefix_ref
+
+        b, h, w, c = 2, 8, 8, 128
+        dw = 2 * c
+        x = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32) * 0.3)
+        ln_w = jnp.asarray(1 + 0.1 * rng.standard_normal(c).astype(np.float32))
+        ln_b = jnp.asarray(0.1 * rng.standard_normal(c).astype(np.float32))
+        w1 = jnp.asarray(rng.standard_normal((c, dw)).astype(np.float32) * 0.05)
+        b1 = jnp.asarray(rng.standard_normal(dw).astype(np.float32) * 0.02)
+        wdw = jnp.asarray(rng.standard_normal((3, 3, dw)).astype(np.float32) * 0.1)
+        bdw = jnp.asarray(rng.standard_normal(dw).astype(np.float32) * 0.02)
+        fused = naf_prefix(x, ln_w, ln_b, w1, b1, wdw, bdw, 1e-6, True)
+        ref = naf_prefix_ref(x, ln_w, ln_b, w1, b1, wdw, bdw)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-5)
+        g1 = jax.grad(lambda x: jnp.sum(naf_prefix(x, ln_w, ln_b, w1, b1, wdw, bdw, 1e-6, True) ** 2))(x)
+        g2 = jax.grad(lambda x: jnp.sum(naf_prefix_ref(x, ln_w, ln_b, w1, b1, wdw, bdw) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
     def test_nafblock_fused_ffn_matches(self, rng):
         """NAFNet forward identical with the fused FFN path (interpret mode)."""
         from dcpt_tpu.archs.nafnet_arch import NAFNetBaseline
         from dcpt_tpu.ops import enable_pallas
         import dcpt_tpu.ops.naf_ffn as nf
+        import dcpt_tpu.ops.naf_prefix as npf
         import dcpt_tpu.ops.layernorm2d as ln_mod
         import dcpt_tpu.ops.mdta as mdta_mod
 
         # width 256 → middle stage c=512, the only stage the fused FFN + LN
-        # kernels fire at after the measured c≥512 gating
+        # + attention-prefix kernels fire at after the measured c≥512 gating
         net = NAFNetBaseline(width=256, enc_blk_nums=(1,), middle_blk_num=1, dec_blk_nums=(1,))
         x = jnp.asarray(rng.random((1, 8, 8, 3)).astype(np.float32))
         params = net.init(jax.random.PRNGKey(0), x)
@@ -217,6 +238,8 @@ class TestNafFFN:
 
         orig_ffn = nf._ffn_pallas
         orig_exp = nf._expand_pallas
+        orig_pref = npf._prefix_pallas
+        npf._prefix_pallas = lambda *a: orig_pref(*a[:-1], True)
         orig_ln_fwd, orig_ln_bwd = ln_mod._fwd_call, ln_mod._bwd_call
         orig_ln_primal = ln_mod._fwd_call_primal
         nf._ffn_pallas = lambda *a: orig_ffn(*a[:-1], True)
@@ -231,6 +254,7 @@ class TestNafFFN:
             enable_pallas(False)
             nf._ffn_pallas = orig_ffn
             nf._expand_pallas = orig_exp
+            npf._prefix_pallas = orig_pref
             ln_mod._fwd_call, ln_mod._bwd_call = orig_ln_fwd, orig_ln_bwd
             ln_mod._fwd_call_primal = orig_ln_primal
         np.testing.assert_allclose(np.asarray(fused), np.asarray(base), atol=2e-5)
