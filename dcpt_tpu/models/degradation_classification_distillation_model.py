@@ -113,21 +113,30 @@ class DCDistModel(SRModel):
         tx = self.optimizer_g
         ema_decay = self.ema_decay
         select = self._select
+        # bf16 compute / fp32 masters, fp32 losses+update (SRModel's recipe)
+        mixed = (self.opt.get("train") or {}).get("mixed_precision", False)
 
         @functools.partial(jax.jit, donate_argnums=(0, 2, 3))
         def step(params_g, params_dc, ema, opt_state, lq, gt, dataset_idx, lr):
             def loss_fn(pg):
+                pdc = jax.lax.stop_gradient(params_dc)
+                if mixed:
+                    pg = jax.tree_util.tree_map(lambda t: t.astype(jnp.bfloat16), pg)
+                    pdc = jax.tree_util.tree_map(lambda t: t.astype(jnp.bfloat16), pdc)
+                    lq_c = lq.astype(jnp.bfloat16)
+                else:
+                    lq_c = lq
                 losses = {}
                 total = 0.0
-                pix_output, taps = net_g.apply({"params": pg}, lq)
+                pix_output, taps = net_g.apply({"params": pg}, lq_c)
                 if cri_pixel is not None:
-                    l_pixel = cri_pixel(pix_output, gt)
+                    l_pixel = cri_pixel(pix_output.astype(jnp.float32), gt)
                     total += l_pixel
                     losses["l_pixel"] = l_pixel
                 if cri_classify is not None:
                     feats = select(taps)[::-1]
-                    logits = net_dc.apply({"params": jax.lax.stop_gradient(params_dc)}, lq, feats)
-                    l_classify = cri_classify(logits, dataset_idx)
+                    logits = net_dc.apply({"params": pdc}, lq_c, feats)
+                    l_classify = cri_classify(logits.astype(jnp.float32), dataset_idx)
                     total += l_classify
                     losses["l_classify"] = l_classify
                 return total, losses

@@ -103,16 +103,23 @@ class DCModel(BaseModel):
         hook_names = self.hook_names
         tx = self.optimizer_dc
         ema_decay = self.ema_decay
+        # bf16 compute / fp32 masters, fp32 losses+update (SRModel's recipe)
+        mixed = (self.opt.get("train") or {}).get("mixed_precision", False)
 
         @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
         def step(params_g, params_dc, opt_state, ema, lq, dataset_idx, lr):
+            if mixed:
+                params_g = jax.tree_util.tree_map(lambda t: t.astype(jnp.bfloat16), params_g)
+                lq = lq.astype(jnp.bfloat16)
             # frozen encoder, detached features (…model.py:94-97,123-128)
             _, taps = net_g.apply({"params": params_g}, lq, skip_tail=True)
             feats = [jax.lax.stop_gradient(f) for f in select_taps(taps, hook_names)[::-1]]
 
             def loss_fn(pdc):
+                if mixed:
+                    pdc = jax.tree_util.tree_map(lambda t: t.astype(jnp.bfloat16), pdc)
                 logits = net_dc.apply({"params": pdc}, lq, feats)
-                l_classify = cri(logits, dataset_idx)
+                l_classify = cri(logits.astype(jnp.float32), dataset_idx)
                 return l_classify, {"l_classify": l_classify}
 
             (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params_dc)

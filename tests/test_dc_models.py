@@ -172,6 +172,38 @@ class TestDCDistModel:
         assert set(model.log_dict) == {"l_pixel", "l_classify"}
         np.testing.assert_array_equal(np.asarray(jax.tree_util.tree_leaves(model.params_dc)[0]), pdc0)
 
+    @pytest.mark.parametrize("model_type", ["DCModel", "DCDistModel"])
+    def test_mixed_precision_step(self, tmp_path, rng, model_type):
+        """mixed_precision across the rest of the DC family: finite losses,
+        trainable net updates, masters stay fp32."""
+        from dcpt_tpu.models import build_model
+
+        opt = _base_opt(tmp_path)
+        opt["model_type"] = model_type
+        opt["train"] = {
+            "scheduler": {"type": "CosineAnnealingRestartLR", "periods": [10], "restart_weights": [1]},
+            "classify_opt": {"type": "CrossEntropyLoss"},
+            "mixed_precision": True,
+            "total_iter": 4,
+        }
+        if model_type == "DCModel":
+            opt["train"]["optim_dc"] = {"type": "Adam", "lr": 1e-3}
+            trained = "params_dc"
+        else:
+            opt["train"]["optim_g"] = {"type": "Adam", "lr": 1e-3}
+            opt["train"]["pixel_opt"] = {"type": "L1Loss"}
+            trained = "params_g"
+        model = build_model(opt)
+        before = np.asarray(jax.tree_util.tree_leaves(getattr(model, trained))[0]).copy()
+        for it in range(1, 3):
+            model.update_learning_rate(it)
+            model.feed_data(_batch(rng))
+            model.optimize_parameters(it)
+        assert all(np.isfinite(v) for v in model.log_dict.values())
+        leaves = jax.tree_util.tree_leaves(getattr(model, trained))
+        assert all(leaf.dtype == jnp.float32 for leaf in leaves)
+        assert not np.allclose(np.asarray(leaves[0]), before)
+
 
 class TestTrainPipeline:
     def test_dcpt_train_pipeline(self, tmp_path):
