@@ -123,6 +123,40 @@ class TestRestormerContextParallel:
         assert diff < 1e-4, f"2-D mesh cp inference should match full-image at seams, got {diff}"
 
 
+class TestPromptIRContextParallel:
+    def test_cp_promptir_matches_full_image(self, rng):
+        """PromptIR with cp set: H-sharded inference == full-image inference at
+        seams — MDTA stats AND the prompt banks (psum'd GAP + global-resize
+        row-gather) are globally exact; the local-stats control diverges."""
+        from dcpt_tpu.archs.promptir_arch import PromptIR
+        from dcpt_tpu.parallel import make_mesh
+        from dcpt_tpu.parallel.spatial import spatial_sharded_apply
+
+        kw = dict(dim=8, num_blocks=(1, 1, 1, 1), num_refinement_blocks=1, heads=(1, 1, 1, 1), decoder=True)
+        plain = PromptIR(**kw)
+        cp_net = PromptIR(**kw, cp_axis="data", cp_halo=64, cp_shards=4)
+
+        ramp = np.linspace(0.0, 1.0, 512, dtype=np.float32)[None, :, None, None]
+        x = jnp.asarray(ramp + 0.1 * rng.random((1, 512, 16, 3)).astype(np.float32))
+        params = plain.init(jax.random.PRNGKey(0), x)["params"]  # cp adds no params
+        full, _ = plain.apply({"params": params}, x)
+
+        mesh = make_mesh({"data": 4})
+        halo = 64
+        out_cp = spatial_sharded_apply(
+            lambda p, xs: cp_net.apply({"params": p}, xs)[0], params, x, mesh, halo=halo
+        )
+        out_local = spatial_sharded_apply(
+            lambda p, xs: plain.apply({"params": p}, xs)[0], params, x, mesh, halo=halo
+        )
+
+        interior = np.s_[:, halo:-halo]
+        diff_cp = np.abs(np.asarray(out_cp)[interior] - np.asarray(full)[interior]).max()
+        diff_local = np.abs(np.asarray(out_local)[interior] - np.asarray(full)[interior]).max()
+        assert diff_cp < 1e-4, f"context-parallel PromptIR should be exact at seams, got {diff_cp}"
+        assert diff_local > 3 * diff_cp, f"local-stats control should diverge: {diff_local} vs {diff_cp}"
+
+
 class TestSpatialMDTA:
     def test_pixel_sharded_mdta_is_exact(self, rng):
         """Context-parallel MDTA: L-sharded result == single-device result exactly."""
