@@ -45,6 +45,15 @@ class NAFBlock(nn.Module):
     local_stats: bool = False
     base_size: tuple[int, int] | None = None
     train_size: tuple[int, int] | None = None
+    # context parallelism: (mesh axis, halo rows at THIS stage's resolution).
+    # Under spatial_sharded_apply the SCA global mean becomes an
+    # interior-masked psum — globally exact despite the H-sharding (the
+    # analog of restormer MDTA.cp), modulo the halo machinery's outer-border
+    # convention: shards reflect-pad the global top/bottom where the full
+    # image zero-pads, and the unnormalized mean sees those edge rows
+    # (~1e-4 uniform residual, measured fp64-stable; seams carry no extra
+    # error — tests/test_spatial.py).  Mutually exclusive with local_stats.
+    cp: tuple | None = None
 
     @nn.compact
     def __call__(self, inp: jax.Array, deterministic: bool = True) -> jax.Array:
@@ -77,7 +86,17 @@ class NAFBlock(nn.Module):
             x = simple_gate(x)
 
         # Simplified Channel Attention: pooled stats → 1×1 conv → scale
-        if self.local_stats:
+        if self.cp is not None:
+            # exact global mean under H-sharding: sum the non-halo interior
+            # rows and psum over the spatial axis (halo rows would otherwise
+            # be double-counted between neighbouring shards)
+            axis, halo = self.cp
+            hh = x.shape[1]
+            interior = x[:, halo : hh - halo] if halo > 0 else x
+            s = jax.lax.psum(jnp.sum(interior, axis=(1, 2), keepdims=True), axis)
+            cnt = jax.lax.psum(jnp.float32(interior.shape[1] * interior.shape[2]), axis)
+            pooled = s / cnt
+        elif self.local_stats:
             k = tlsc_kernel_size(x.shape, self.base_size, self.train_size)
             pooled = local_avg_pool(x, k)
         else:
@@ -138,6 +157,21 @@ class NAFNetBaseline(nn.Module):
     # gradient checkpointing: rematerialize each NAFBlock in the backward pass,
     # trading FLOPs for HBM (enables larger batches/crops on one chip)
     remat: bool = False
+    # context-parallel inference (see NAFBlock.cp): shard H over cp_axis via
+    # parallel.spatial.spatial_sharded_apply with halo=cp_halo; every SCA
+    # keeps its GLOBAL statistics exactly.  cp_halo must divide by
+    # 2**len(enc_blk_nums) (one halving per down).  Param-free, so
+    # checkpoints stay interchangeable with the plain model.
+    cp_axis: str | None = None
+    cp_halo: int = 0
+
+    def _cp(self, factor: int):
+        if self.cp_axis is None:
+            return None
+        assert self.cp_halo % (2 ** len(self.enc_blk_nums)) == 0, (
+            "cp_halo must divide by 2**len(enc_blk_nums)")
+        assert not self.local_stats, "cp (exact global stats) and TLSC local_stats are exclusive"
+        return (self.cp_axis, self.cp_halo // factor)
 
     def _block_cfg(self) -> dict[str, Any]:
         base = (int(self.train_size[0] * self.tlsc_ratio), int(self.train_size[1] * self.tlsc_ratio))
@@ -168,15 +202,16 @@ class NAFNetBaseline(nn.Module):
         chan = self.width
         for i, num in enumerate(self.enc_blk_nums):
             for j in range(num):
-                x = Block(chan, name=f"encoders_{i}_{j}", **cfg)(x, deterministic)
+                x = Block(chan, name=f"encoders_{i}_{j}", cp=self._cp(2**i), **cfg)(x, deterministic)
             taps[f"encoders.{i}"] = x
             encs.append(x)
             x = conv2d(2 * chan, 2, stride=2, padding=0, name=f"downs_{i}", in_features=chan)(x)
             taps[f"downs.{i}"] = x
             chan *= 2
 
+        mid_factor = 2 ** len(self.enc_blk_nums)
         for j in range(self.middle_blk_num):
-            x = Block(chan, name=f"middle_blks_{j}", **cfg)(x, deterministic)
+            x = Block(chan, name=f"middle_blks_{j}", cp=self._cp(mid_factor), **cfg)(x, deterministic)
             taps[f"middle_blks.{j}"] = x
 
         for i, num in enumerate(self.dec_blk_nums):
@@ -185,8 +220,9 @@ class NAFNetBaseline(nn.Module):
             taps[f"ups.{i}"] = x
             chan //= 2
             x = x + encs[-(i + 1)]
+            dec_factor = 2 ** (len(self.enc_blk_nums) - 1 - i)
             for j in range(num):
-                x = Block(chan, name=f"decoder_{i}_{j}", **cfg)(x, deterministic)
+                x = Block(chan, name=f"decoder_{i}_{j}", cp=self._cp(dec_factor), **cfg)(x, deterministic)
                 taps[f"decoder{i}.{j}"] = x
 
         if skip_tail:

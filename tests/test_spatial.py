@@ -157,6 +157,55 @@ class TestPromptIRContextParallel:
         assert diff_local > 3 * diff_cp, f"local-stats control should diverge: {diff_local} vs {diff_cp}"
 
 
+class TestNAFNetContextParallel:
+    def test_cp_nafnet_matches_full_image(self, rng):
+        """NAFNet with cp set: SCA's global mean is an interior-masked psum,
+        so H-sharded inference == full-image at seams; the plain net under
+        sharding (per-shard SCA stats) diverges."""
+        from dcpt_tpu.archs.nafnet_arch import NAFNetBaseline
+        from dcpt_tpu.parallel import make_mesh
+        from dcpt_tpu.parallel.spatial import spatial_sharded_apply
+
+        kw = dict(width=8, enc_blk_nums=(1, 1), middle_blk_num=1, dec_blk_nums=(1, 1), window_size=4)
+        plain = NAFNetBaseline(**kw)
+        cp_net = NAFNetBaseline(**kw, cp_axis="data", cp_halo=64)
+
+        ramp = np.linspace(0.0, 1.0, 512, dtype=np.float32)[None, :, None, None]
+        x = jnp.asarray(ramp + 0.1 * rng.random((1, 512, 16, 3)).astype(np.float32))
+        params = plain.init(jax.random.PRNGKey(0), x)["params"]  # cp adds no params
+        # beta/gamma residual scales init to ZERO (every block = identity,
+        # which would make any sharding trivially exact) — set them nonzero
+        params = jax.tree_util.tree_map_with_path(
+            lambda path, a: jnp.full_like(a, 0.7) if path[-1].key in ("beta", "gamma") else a, params
+        )
+        full, _ = plain.apply({"params": params}, x)
+
+        mesh = make_mesh({"data": 4})
+        halo = 64
+        out_cp = spatial_sharded_apply(
+            lambda p, xs: cp_net.apply({"params": p}, xs)[0], params, x, mesh, halo=halo
+        )
+        out_local = spatial_sharded_apply(
+            lambda p, xs: plain.apply({"params": p}, xs)[0], params, x, mesh, halo=halo
+        )
+
+        # Residual ~1.3e-4 (fp64-stable, uniform across rows — measured): the
+        # shard machinery reflect-pads the global top/bottom while the full
+        # forward zero-pads convs at the border, and SCA's UNNORMALIZED global
+        # mean ingests those edge rows (MDTA's normalized Grams are
+        # insensitive, hence Restormer's tighter bound).  Seam rows carry no
+        # extra error; the per-shard-stats control is ~47× worse.
+        interior = np.s_[:, halo:-halo]
+        diff_cp = np.abs(np.asarray(out_cp)[interior] - np.asarray(full)[interior]).max()
+        diff_local = np.abs(np.asarray(out_local)[interior] - np.asarray(full)[interior]).max()
+        assert diff_cp < 3e-4, f"context-parallel NAFNet should be seam-exact, got {diff_cp}"
+        assert diff_local > 10 * diff_cp, f"per-shard SCA control should diverge: {diff_local} vs {diff_cp}"
+        # seams (shard boundaries) must not be worse than the interior bulk
+        per_row = np.abs(np.asarray(out_cp) - np.asarray(full)).max(axis=(0, 2, 3))
+        for seam in (128, 256, 384):
+            assert per_row[seam - 2 : seam + 2].max() < 3e-4
+
+
 class TestSpatialMDTA:
     def test_pixel_sharded_mdta_is_exact(self, rng):
         """Context-parallel MDTA: L-sharded result == single-device result exactly."""
