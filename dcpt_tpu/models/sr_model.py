@@ -60,7 +60,13 @@ class SRModel(BaseModel):
     def __init__(self, opt: dict):
         super().__init__(opt)
         self.scale = opt.get("scale", 1)
-        self.net_g = build_network(opt["network_g"])
+        # cp_* arch options only make sense under shard_map (their psums need
+        # a bound mesh axis) — strip them for the plain net used by init/jit
+        # paths; _test_spatial_cp builds the cp variant lazily (param-free,
+        # so the same params apply)
+        self._cp_net_opt = dict(opt["network_g"])
+        plain_net_opt = {k: v for k, v in opt["network_g"].items() if not k.startswith("cp_")}
+        self.net_g = build_network(plain_net_opt)
         self.rng = jax.random.PRNGKey(opt.get("manual_seed", 0) or 0)
 
         in_ch = _net_in_channels(opt["network_g"])
@@ -243,7 +249,41 @@ class SRModel(BaseModel):
         self.output = self.output[:, : h - self.mod_pad_h * self.scale, : w - self.mod_pad_w * self.scale, :]
 
     def test(self) -> None:
+        cp = (self.opt.get("val") or {}).get("spatial_cp")
+        if cp:
+            self._test_spatial_cp(cp)
+            return
         self.output = self._apply(self._infer_params(), self.lq)
+
+    def _test_spatial_cp(self, cp: dict) -> None:
+        """Huge-image context-parallel inference from the yml surface.
+
+        ``val.spatial_cp: {halo: <rows>, axis: <mesh axis>}`` shards H over
+        the mesh via ``spatial_sharded_apply``; pair it with the arch's
+        ``network_g.cp_axis/cp_halo`` options (NAFNetBaseline / Restormer /
+        PromptIR) to keep global statistics exact under the sharding.
+        """
+        from ..parallel.mesh import get_default_mesh
+        from ..parallel.spatial import spatial_sharded_apply
+
+        mesh = get_default_mesh(self.opt)
+        axis = cp.get("axis", "data")
+        halo = int(cp["halo"])
+        n = mesh.shape[axis]
+        h = self.lq.shape[1]
+        if h % n != 0:
+            raise ValueError(
+                f"spatial_cp: H={h} must divide over {n} '{axis}' shards — "
+                f"set val.pad_multiple to a multiple of {n}")
+        if "cp_net" not in self._apply_cache:
+            # cp variant of net_g (exact global stats under sharding); its
+            # options add no params, so self.params_g applies unchanged
+            self._apply_cache["cp_net"] = build_network(dict(self._cp_net_opt))
+        net = self._apply_cache["cp_net"]
+        self.output = spatial_sharded_apply(
+            lambda p, xs: net.apply({"params": p}, xs)[0],
+            self._infer_params(), self.lq, mesh, halo=halo, axis=axis, scale=self.scale,
+        )
 
     def test_selfensemble(self) -> None:
         """×8 dihedral test-time ensemble, fully on device (sr_model.py:187-232).

@@ -206,6 +206,47 @@ class TestNAFNetContextParallel:
             assert per_row[seam - 2 : seam + 2].max() < 3e-4
 
 
+class TestSpatialCPFromYml:
+    def test_srmodel_spatial_cp_option(self, rng, tmp_path):
+        """val.spatial_cp + network_g.cp_* route SRModel.test through the
+        H-sharded path and match the plain single-device forward."""
+        from dcpt_tpu.models import build_model
+        from dcpt_tpu.parallel.mesh import set_default_mesh
+
+        net_g = {"type": "Restormer", "dim": 8, "num_blocks": [1, 1, 1, 1],
+                 "num_refinement_blocks": 1, "heads": [1, 1, 1, 1], "window_size": 8,
+                 "cp_axis": "data", "cp_halo": 32}
+        base_opt = {
+            "name": "cp_yml", "model_type": "SRModel", "scale": 1, "num_gpu": 4,
+            "manual_seed": 0, "is_train": False, "dist": False, "rank": 0, "world_size": 1,
+            "path": {}, "val": {"metrics": {}, "spatial_cp": {"halo": 32, "axis": "data"}},
+            "network_g": net_g,
+        }
+        x = jnp.asarray(rng.random((1, 256, 16, 3)).astype(np.float32))
+
+        set_default_mesh(None)
+        try:
+            model = build_model(base_opt)
+            model.feed_data({"lq": x})
+            model.test()
+            out_cp = np.asarray(model.output)
+        finally:
+            set_default_mesh(None)
+
+        plain_opt = dict(base_opt, num_gpu=1, val={"metrics": {}},
+                         network_g={k: v for k, v in net_g.items() if not k.startswith("cp_")})
+        plain = build_model(plain_opt)
+        plain.params_g = model.params_g  # cp adds no params
+        plain.params_g_ema = model.params_g_ema
+        plain.feed_data({"lq": x})
+        plain.test()
+        full = np.asarray(plain.output)
+
+        assert out_cp.shape == full.shape
+        interior = np.s_[:, 32:-32]
+        assert np.abs(out_cp[interior] - full[interior]).max() < 1e-4
+
+
 class TestSpatialMDTA:
     def test_pixel_sharded_mdta_is_exact(self, rng):
         """Context-parallel MDTA: L-sharded result == single-device result exactly."""
