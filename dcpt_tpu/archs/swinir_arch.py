@@ -68,6 +68,35 @@ def window_reverse(windows: jax.Array, ws: int, h: int, w: int) -> jax.Array:
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, -1)
 
 
+def _swin_fused_gate(pallas_on: bool, qkv_bias: bool, qk_scale, c: int, heads: int, dtype) -> bool:
+    """fp32-only: measured on v5e, the fused kernel wins 1.37-1.74x end-to-end
+    in fp32 but loses 3x in bf16 (Mosaic bf16 relayouts of the masked-head
+    blocks), and XLA-bf16 (20.8 ms @128px) is still slower than Pallas-fp32
+    (18.4 ms) — see PARITY.md "Pallas kernels"."""
+    return pallas_on and qkv_bias and qk_scale is None and c % heads == 0 and dtype == jnp.float32
+
+
+class _DenseParams(nn.Module):
+    din: int
+    dout: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", _dense(self.dout).kernel_init, (self.din, self.dout))
+        b = self.param("bias", nn.initializers.zeros, (self.dout,))
+        return k, b
+
+
+class _LnParams(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        w = self.param("weight", nn.initializers.ones, (self.dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return w, b
+
+
 class WindowAttention(nn.Module):
     """W-MSA without relative position bias (as modified, swinir_arch.py:79-195)."""
 
@@ -77,7 +106,7 @@ class WindowAttention(nn.Module):
     qk_scale: float | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, pre_norm: tuple | None = None) -> jax.Array:
         b_, n, c = x.shape
         heads = self.num_heads
         hd = c // heads
@@ -85,28 +114,18 @@ class WindowAttention(nn.Module):
 
         from ..ops import pallas_enabled
 
-        # fp32-only: measured on v5e, the kernel wins 1.37-1.74x end-to-end in
-        # fp32 but loses 3x in bf16 (Mosaic bf16 relayouts of the masked-head
-        # blocks), and XLA-bf16 (20.8 ms @128px) is still slower than
-        # Pallas-fp32 (18.4 ms) — see PARITY.md "Pallas kernels"
-        if pallas_enabled() and self.qkv_bias and self.qk_scale is None and c % heads == 0 and x.dtype == jnp.float32:
-            # fused qkv→softmax→PV→proj kernel (SURVEY §7: SwinIR is
+        if _swin_fused_gate(pallas_enabled(), self.qkv_bias, self.qk_scale, c, heads, x.dtype):
+            # fused (LN+)qkv→softmax→PV→proj kernel (SURVEY §7: SwinIR is
             # small-matmul-bound; one VMEM pass per window tile)
-            from ..ops.window_attention import fused_window_attention
-
-            class _DenseParams(nn.Module):
-                din: int
-                dout: int
-
-                @nn.compact
-                def __call__(self):
-                    k = self.param("kernel", _dense(self.dout).kernel_init, (self.din, self.dout))
-                    b = self.param("bias", nn.initializers.zeros, (self.dout,))
-                    return k, b
+            from ..ops.window_attention import fused_window_attention, fused_window_attention_ln
 
             wqkv, bqkv = _DenseParams(c, 3 * c, name="qkv")()
             wproj, bproj = _DenseParams(c, c, name="proj")()
+            if pre_norm is not None:
+                ln_w, ln_b, ln_eps = pre_norm
+                return fused_window_attention_ln(x, ln_w, ln_b, wqkv, bqkv, wproj, bproj, heads, ln_eps)
             return fused_window_attention(x, wqkv, bqkv, wproj, bproj, heads)
+        assert pre_norm is None  # only the fused path accepts a folded LN
 
         qkv = _dense(c * 3, self.qkv_bias, "qkv")(x)
         qkv = qkv.reshape(b_, n, 3, heads, hd).transpose(2, 0, 3, 1, 4)
@@ -146,16 +165,26 @@ class SwinTransformerBlock(nn.Module):
         b, h, w, c = x.shape
         ws, ss = self.window_size, self.shift_size
 
+        from ..ops import pallas_enabled
+
         shortcut = x
-        x = TorchLayerNorm(c, name="norm1")(x)
         # NOTE: the fused shift+partition kernels (ops/window_process.py, the
         # reference's window_process op twin) measured slightly slower than
         # XLA's roll+reshape fusion end-to-end on v5e, so the hot path keeps
         # the XLA composition; the fused *attention* kernel below is gated.
+        pre_norm = None
+        if _swin_fused_gate(pallas_enabled(), self.qkv_bias, self.qk_scale, c, self.num_heads, x.dtype):
+            # fold norm1 into the attention kernel (LN is per-token, so it
+            # commutes with roll + window partition); params via holder so the
+            # tree matches the module path exactly
+            ln_w, ln_b = _LnParams(c, name="norm1")()
+            pre_norm = (ln_w, ln_b, 1e-5)
+        else:
+            x = TorchLayerNorm(c, name="norm1")(x)
         if ss > 0:
             x = jnp.roll(x, shift=(-ss, -ss), axis=(1, 2))
         xw = window_partition(x, ws)
-        xw = WindowAttention(c, self.num_heads, self.qkv_bias, self.qk_scale, name="attn")(xw)
+        xw = WindowAttention(c, self.num_heads, self.qkv_bias, self.qk_scale, name="attn")(xw, pre_norm)
         x = window_reverse(xw, ws, h, w)
         if ss > 0:
             x = jnp.roll(x, shift=(ss, ss), axis=(1, 2))

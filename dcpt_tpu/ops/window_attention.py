@@ -34,11 +34,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def window_attention_ref(x, wqkv, bqkv, wproj, bproj, num_heads: int):
-    """jnp reference: x (NW, N, C) windows."""
+def window_attention_ref(x, wqkv, bqkv, wproj, bproj, num_heads: int, ln: tuple | None = None):
+    """jnp reference: x (NW, N, C) windows; ``ln`` = optional (weight, bias,
+    eps) pre-LayerNorm folded in (per-token, so it commutes with the window
+    partition)."""
     nw, n, c = x.shape
     hd = c // num_heads
     scale = hd**-0.5
+    if ln is not None:
+        ln_w, ln_b, eps = ln
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+        x = (x - mu) * jax.lax.rsqrt(var + eps) * ln_w + ln_b
     qkv = x @ wqkv + bqkv  # (nw, n, 3c)
     qkv = qkv.reshape(nw, n, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0], qkv[1], qkv[2]
@@ -48,13 +55,17 @@ def window_attention_ref(x, wqkv, bqkv, wproj, bproj, num_heads: int):
 
 
 def _kernel(
-    x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref, wproj_ref, bproj_ref, out_ref,
-    *, num_heads: int,
+    x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref, wproj_ref, bproj_ref, lnw_ref, lnb_ref, out_ref,
+    *, num_heads: int, ln_eps: float | None,
 ):
     t, n, c = x_ref.shape
     hd = c // num_heads
     scale = hd**-0.5
     x = x_ref[:].reshape(t * n, c)
+    if ln_eps is not None:
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+        x = (x - mu) * jax.lax.rsqrt(var + ln_eps) * lnw_ref[0] + lnb_ref[0]
     q = (jnp.dot(x, wq_ref[:], preferred_element_type=jnp.float32) + bq_ref[0]) * scale
     k = jnp.dot(x, wk_ref[:], preferred_element_type=jnp.float32) + bk_ref[0]
     v = jnp.dot(x, wv_ref[:], preferred_element_type=jnp.float32) + bv_ref[0]
@@ -90,24 +101,28 @@ def _pick_tile(nw: int, n: int, c: int) -> int:
     return 1
 
 
-def _wa_pallas(x, wqkv, bqkv, wproj, bproj, num_heads, interpret):
+def _wa_pallas(x, wqkv, bqkv, wproj, bproj, num_heads, interpret, ln=None):
     nw, n, c = x.shape
     t = _pick_tile(nw, n, c)
     wq, wk, wv = wqkv[:, :c], wqkv[:, c : 2 * c], wqkv[:, 2 * c :]
     bq, bk, bv = bqkv[:c][None], bqkv[c : 2 * c][None], bqkv[2 * c :][None]
+    if ln is None:
+        ln_w, ln_b, ln_eps = jnp.ones((c,), x.dtype), jnp.zeros((c,), x.dtype), None
+    else:
+        ln_w, ln_b, ln_eps = ln
     wspec = pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
     bspec = pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_kernel, num_heads=num_heads),
+        functools.partial(_kernel, num_heads=num_heads, ln_eps=ln_eps),
         grid=(nw // t,),
         in_specs=[
             pl.BlockSpec((t, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            wspec, wspec, wspec, bspec, bspec, bspec, wspec, bspec,
+            wspec, wspec, wspec, bspec, bspec, bspec, wspec, bspec, bspec, bspec,
         ],
         out_specs=pl.BlockSpec((t, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nw, n, c), x.dtype),
         interpret=interpret,
-    )(x, wq, wk, wv, bq, bk, bv, wproj, bproj[None])
+    )(x, wq, wk, wv, bq, bk, bv, wproj, bproj[None], ln_w[None], ln_b[None])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -129,3 +144,31 @@ def _bwd(num_heads, interpret, res, g):
 
 
 fused_window_attention.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_window_attention_ln(x, ln_w, ln_b, wqkv, bqkv, wproj, bproj, num_heads: int,
+                              ln_eps: float = 1e-5, interpret: bool = False):
+    """As :func:`fused_window_attention` with the pre-attention LayerNorm
+    (torch semantics, per-token) folded into the same VMEM pass — saves one
+    full feature-map read+write per SwinTransformerBlock."""
+    return _wa_pallas(x, wqkv, bqkv, wproj, bproj, num_heads, interpret, ln=(ln_w, ln_b, ln_eps))
+
+
+def _fwd_ln(x, ln_w, ln_b, wqkv, bqkv, wproj, bproj, num_heads, ln_eps, interpret):
+    out = fused_window_attention_ln(x, ln_w, ln_b, wqkv, bqkv, wproj, bproj, num_heads, ln_eps, interpret)
+    return out, (x, ln_w, ln_b, wqkv, bqkv, wproj, bproj)
+
+
+def _bwd_ln(num_heads, ln_eps, interpret, res, g):
+    x, ln_w, ln_b, wqkv, bqkv, wproj, bproj = res
+    _, vjp = jax.vjp(
+        lambda x, lw, lb, wqkv, bqkv, wproj, bproj: window_attention_ref(
+            x, wqkv, bqkv, wproj, bproj, num_heads, ln=(lw, lb, ln_eps)
+        ),
+        x, ln_w, ln_b, wqkv, bqkv, wproj, bproj,
+    )
+    return vjp(g)
+
+
+fused_window_attention_ln.defvjp(_fwd_ln, _bwd_ln)

@@ -300,7 +300,7 @@ class TestWindowAttention:
         base, _ = net.apply(params, x)
 
         orig = wa._wa_pallas
-        wa._wa_pallas = lambda *a: orig(*a[:-1], True)
+        wa._wa_pallas = lambda *a, **kw: orig(*a[:-1], True, **kw)
         enable_pallas(True)
         try:
             fused, _ = net.apply(params, x)
@@ -322,7 +322,7 @@ class TestWindowAttention:
         base, _ = net.apply(params, x)
 
         orig = wa._wa_pallas
-        wa._wa_pallas = lambda *a: orig(*a[:-1], True)
+        wa._wa_pallas = lambda *a, **kw: orig(*a[:-1], True, **kw)
         enable_pallas(True)
         try:
             fused, _ = net.apply(params, x)
