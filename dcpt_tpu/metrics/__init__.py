@@ -3,6 +3,7 @@
 from copy import deepcopy
 
 from ..utils.registry import METRIC_REGISTRY
+from . import fid as _fid  # noqa: F401  (registers calculate_fid)
 from . import niqe as _niqe  # noqa: F401  (registers calculate_niqe)
 from . import psnr_ssim as _psnr_ssim  # noqa: F401  (registers metrics on import)
 from .psnr_ssim import (  # noqa: F401
@@ -10,8 +11,10 @@ from .psnr_ssim import (  # noqa: F401
     calculate_nrmse,
     calculate_psnr,
     calculate_psnr_device,
+    calculate_psnr_pt,
     calculate_ssim,
     calculate_ssim_device,
+    calculate_ssim_pt,
 )
 
 

@@ -209,6 +209,41 @@ def calculate_psnr_device(img, img2, crop_border=0, test_y_channel=False, **kwar
     return 10.0 * jnp.log10(1.0 / (mse + 1e-12))
 
 
+def _pt_alias(device_fn, img, img2, crop_border, test_y_channel, input_order, kwargs):
+    """Shared shim for the reference's ``*_pt`` metric names: accept the
+    reference's NCHW tensor layout (or an explicit ``input_order``), route
+    through the device metric, return the batch-mean float."""
+    import jax.numpy as jnp
+
+    img = jnp.asarray(np.asarray(img))
+    img2 = jnp.asarray(np.asarray(img2))
+    if input_order == "BCHW":
+        img = jnp.transpose(img, (0, 2, 3, 1))
+        img2 = jnp.transpose(img2, (0, 2, 3, 1))
+    per_image = device_fn(img, img2, crop_border=crop_border, test_y_channel=test_y_channel, **kwargs)
+    return float(jnp.mean(per_image))
+
+
+@METRIC_REGISTRY.register()
+def calculate_psnr_pt(img, img2, crop_border, test_y_channel=False, input_order="BCHW", **kwargs):
+    """Reference-name alias (basicsr/metrics/psnr_ssim.py:78-110): PSNR on
+    float [0,1] tensors without the uint8 quantize, batch-meaned.  The device
+    math is :func:`calculate_psnr_device`; the reference default layout is
+    NCHW (``input_order='BCHW'``)."""
+    return _pt_alias(calculate_psnr_device, img, img2, crop_border, test_y_channel, input_order, kwargs)
+
+
+@METRIC_REGISTRY.register()
+def calculate_ssim_pt(img, img2, crop_border, test_y_channel=False, image_range=255, input_order="BCHW", **kwargs):
+    """Reference-name alias (basicsr/metrics/psnr_ssim.py:436-480): MATLAB
+    SSIM on float [0,1] tensors, batch-meaned.  NOTE the reference computes
+    SSIM constants from ``image_range`` (default 255) even though the inputs
+    are [0,1]-ranged — that (surprising) semantics is preserved."""
+    return _pt_alias(
+        functools.partial(calculate_ssim_device, image_range=image_range),
+        img, img2, crop_border, test_y_channel, input_order, kwargs)
+
+
 @METRIC_REGISTRY.register()
 def calculate_ssim_device(img, img2, crop_border=0, test_y_channel=False, image_range=1.0, **kwargs):
     """On-device SSIM over NHWC float [0,1] (matches calculate_ssim_pt, psnr_ssim.py:436-559)."""

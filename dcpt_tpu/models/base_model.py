@@ -157,14 +157,14 @@ class BaseModel:
     def reduce_loss_dict(self, loss_dict: dict) -> OrderedDict:
         """Loss logging (reference: base_model.py:432-457).
 
-        When the train step is jitted over one GLOBAL mesh the loss outputs
-        are already global means, so the local value is the reduced value.
-        When hosts run independent steps (per-host loops), set
-        ``train.reduce_losses: true`` to average the logged losses across
-        processes — the reference's ``dist.reduce``-to-rank-0 + world-size
-        divide, except every host gets the mean (allgather is one tiny host
-        collective either way)."""
-        if self.opt.get("dist") and (self.opt.get("train") or {}).get("reduce_losses"):
+        Whenever ``dist`` the logged losses are averaged across processes —
+        the reference reduces by default under dist (its ``dist.reduce`` to
+        rank 0 + world-size divide, base_model.py:440-451); here every host
+        gets the mean (allgather is one tiny host collective either way).
+        Set ``train.reduce_losses: false`` to opt out (e.g. when the train
+        step is jitted over one GLOBAL mesh, where loss outputs are already
+        global means and the collective is redundant)."""
+        if self.opt.get("dist") and (self.opt.get("train") or {}).get("reduce_losses", True):
             from jax.experimental import multihost_utils
 
             keys = list(loss_dict)
@@ -268,11 +268,31 @@ class BaseModel:
         leaves = [jnp.asarray(n, dtype=jnp.asarray(o).dtype) for n, o in zip(leaves, live_leaves)]
         return jax.tree_util.tree_unflatten(treedef, leaves)
 
-    def save_training_state(self, epoch: int, current_iter: int, state: dict) -> None:
-        """Orbax save of {epoch, iter, opt_states…} (reference: base_model.py:371-411).
+    def _async_state_ckptr(self):
+        """Lazily-built orbax AsyncCheckpointer shared across saves (the
+        SURVEY §5.3 TPU design target: the train loop must not stall on
+        checkpoint serialization — the write happens on a background thread
+        while the next jitted step runs)."""
+        if getattr(self, "_async_ckptr", None) is None:
+            import orbax.checkpoint as ocp
 
-        ``logger.keep_checkpoints`` (TPU extension) prunes old `.state` dirs,
-        keeping the newest N — orbax-style retention.
+            self._async_ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        return self._async_ckptr
+
+    def finalize_checkpoints(self) -> None:
+        """Block until any in-flight async training-state save has committed."""
+        if getattr(self, "_async_ckptr", None) is not None:
+            self._async_ckptr.wait_until_finished()
+
+    def save_training_state(self, epoch: int, current_iter: int, state: dict) -> None:
+        """Async orbax save of {epoch, iter, opt_states…} (reference:
+        base_model.py:371-411 — there a blocking ``torch.save``).
+
+        The call returns as soon as the state is snapshotted to host memory;
+        the directory write commits on a background thread (next save/
+        ``finalize_checkpoints`` joins it first).  ``logger.keep_checkpoints``
+        (TPU extension) prunes old `.state` dirs, keeping the newest N —
+        orbax-style retention.
         """
         if current_iter == -1:
             return
@@ -281,12 +301,11 @@ class BaseModel:
         # NOTE: under jax.distributed EVERY process must call orbax save —
         # it synchronises globally and elects the primary host for the write;
         # a master-only call deadlocks the fleet on the sync barrier.
-        import orbax.checkpoint as ocp
-
         state = dict(state, epoch=epoch, iter=current_iter)
         path = osp.join(self.opt["path"]["training_states"], f"{current_iter}.state")
-        with ocp.PyTreeCheckpointer() as ckptr:
-            ckptr.save(os.path.abspath(path), state, force=True)
+        ckptr = self._async_state_ckptr()
+        ckptr.wait_until_finished()  # at most one save in flight
+        ckptr.save(os.path.abspath(path), state, force=True)
 
         keep = (self.opt.get("logger") or {}).get("keep_checkpoints") if self._is_master() else None
         if keep:
@@ -295,7 +314,10 @@ class BaseModel:
                 (f for f in os.listdir(root) if f.endswith(".state")),
                 key=lambda f: float(f.split(".state")[0]),
             )
-            for old in states[:-keep]:
+            # the save just launched is still in flight (not yet listed):
+            # it counts toward the retention budget
+            in_flight = 0 if f"{current_iter}.state" in states else 1
+            for old in states[: -(keep - in_flight)] if keep > in_flight else states:
                 import shutil
 
                 shutil.rmtree(osp.join(root, old), ignore_errors=True)
@@ -303,6 +325,7 @@ class BaseModel:
     def resume_training_state(self, state_path: str) -> dict:
         import orbax.checkpoint as ocp
 
+        self.finalize_checkpoints()  # join any in-flight async save first
         with ocp.PyTreeCheckpointer() as ckptr:
             return ckptr.restore(os.path.abspath(state_path))
 

@@ -23,7 +23,7 @@ from ..utils.logger import get_root_logger
 from ..utils.registry import MODEL_REGISTRY
 from .base_model import BaseModel
 from .dc_util import accuracy_topk, select_taps
-from .sr_model import _net_in_channels, check_window_size
+from .sr_model import _init_hint, _net_in_channels, check_window_size
 
 
 @MODEL_REGISTRY.register()
@@ -34,11 +34,11 @@ class DCModel(BaseModel):
         self.hook_names = opt.get("hook_names")
         self.rng = jax.random.PRNGKey(opt.get("manual_seed", 0) or 0)
 
-        self.net_g = build_network(opt["network_g"])
+        self.net_g = build_network({k: v for k, v in opt["network_g"].items() if k != "h"})
         self.net_dc = build_network(opt["network_dc"])
 
         in_ch = _net_in_channels(opt["network_g"])
-        h = opt["network_g"].get("h", 64)
+        h = _init_hint(opt)
         self.rng, kg, kdc = jax.random.split(self.rng, 3)
         self.params_g = self.net_g.init(kg, jnp.zeros((1, h, h, in_ch)))["params"]
         dummy_feats = self._dummy_features(jnp.zeros((1, h, h, in_ch)))

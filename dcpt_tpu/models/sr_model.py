@@ -55,6 +55,15 @@ def check_window_size(window_size):
     return window_size
 
 
+def _init_hint(opt: dict) -> int:
+    """Spatial size for the flax param-shape init pass.
+
+    Preferred spelling is top-level ``init_size`` (it is a harness hint, not a
+    network constructor arg); ``network_g.h`` is accepted for backward compat
+    but is stripped before ``build_network`` so it never warns."""
+    return int(opt.get("init_size") or opt["network_g"].get("h") or 64)
+
+
 @MODEL_REGISTRY.register()
 class SRModel(BaseModel):
     def __init__(self, opt: dict):
@@ -64,13 +73,13 @@ class SRModel(BaseModel):
         # a bound mesh axis) — strip them for the plain net used by init/jit
         # paths; _test_spatial_cp builds the cp variant lazily (param-free,
         # so the same params apply)
-        self._cp_net_opt = dict(opt["network_g"])
-        plain_net_opt = {k: v for k, v in opt["network_g"].items() if not k.startswith("cp_")}
+        self._cp_net_opt = {k: v for k, v in opt["network_g"].items() if k != "h"}
+        plain_net_opt = {k: v for k, v in self._cp_net_opt.items() if not k.startswith("cp_")}
         self.net_g = build_network(plain_net_opt)
         self.rng = jax.random.PRNGKey(opt.get("manual_seed", 0) or 0)
 
         in_ch = _net_in_channels(opt["network_g"])
-        h = opt["network_g"].get("h", 64)
+        h = _init_hint(opt)
         self.rng, init_key = jax.random.split(self.rng)
         variables = self.net_g.init(init_key, jnp.zeros((1, h, h, in_ch)))
         self.params_g = variables["params"]
@@ -275,6 +284,40 @@ class SRModel(BaseModel):
             raise ValueError(
                 f"spatial_cp: H={h} must divide over {n} '{axis}' shards — "
                 f"set val.pad_multiple to a multiple of {n}")
+        # cross-check yml surface vs arch cp options: a silent mismatch would
+        # produce WRONG global statistics instead of an error — the exactness
+        # contract the cp feature exists for
+        arch_axis = self._cp_net_opt.get("cp_axis")
+        arch_halo = self._cp_net_opt.get("cp_halo")
+        if arch_axis is not None and arch_axis != axis:
+            raise ValueError(
+                f"spatial_cp: val.spatial_cp.axis={axis!r} != network_g.cp_axis={arch_axis!r}")
+        if arch_halo is not None and int(arch_halo) != halo:
+            raise ValueError(
+                f"spatial_cp: val.spatial_cp.halo={halo} != network_g.cp_halo={arch_halo}")
+        arch_shards = self._cp_net_opt.get("cp_shards")
+        if arch_shards is not None and int(arch_shards) != n:
+            raise ValueError(
+                f"spatial_cp: network_g.cp_shards={arch_shards} != mesh axis "
+                f"'{axis}' size {n} — prompt rows would land on wrong shards")
+        # NAFNet U-Nets: each shard forwards (H/n + 2·halo) rows through
+        # len(enc_blk_nums) stride-2 downs; a non-divisible height truncates
+        # and fails deep in the decoder concat — error at the surface instead
+        enc_blks = self._cp_net_opt.get("enc_blk_nums")
+        if enc_blks and str(self._cp_net_opt.get("type", "")).startswith("NAFNet"):
+            down = 2 ** len(enc_blks)
+            shard_h = h // n + 2 * halo
+            if shard_h % down != 0:
+                raise ValueError(
+                    f"spatial_cp: per-shard height H/n + 2·halo = {shard_h} must divide "
+                    f"by 2**len(enc_blk_nums) = {down} — adjust val.pad_multiple or halo")
+        if str(self._cp_net_opt.get("type", "")) == "SwinIR":
+            ws = int(self._cp_net_opt.get("window_size", 8))
+            if halo % ws != 0 or (h // n) % ws != 0:
+                raise ValueError(
+                    f"spatial_cp(SwinIR): halo ({halo}) and per-shard height H/n "
+                    f"({h // n}) must both divide by window_size {ws} so the "
+                    f"shard-local window grid aligns with the global one")
         if "cp_net" not in self._apply_cache:
             # cp variant of net_g (exact global stats under sharding); its
             # options add no params, so self.params_g applies unchanged

@@ -36,7 +36,13 @@ def _pick_tile(rows: int, c: int) -> int:
     for t in (8192, 4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
         if rows % t == 0 and t <= budget:
             return t
-    return rows
+    # no power-of-two divisor fits: fall back to the largest divisor within
+    # budget rather than mapping the whole array as one (possibly OOM) block
+    # (same discipline as naf_ffn._pick_tile)
+    for t in range(min(rows, max(budget, 1)), 0, -1):
+        if rows % t == 0:
+            return t
+    return 1
 
 
 def _fwd_kernel_primal(x_ref, w_ref, b_ref, out_ref, *, eps: float):

@@ -222,6 +222,7 @@ def train_pipeline(root_path: str, args=None):
     logger.info(f"End of training. Time consumed: {consumed_time}")
     logger.info("Save the latest model.")
     model.save(epoch=-1, current_iter=-1)
+    model.finalize_checkpoints()  # join the in-flight async state save
     if opt.get("val") is not None:
         for val_loader in val_loaders:
             model.validation(val_loader, current_iter, tb_logger, opt["val"].get("save_img", False))

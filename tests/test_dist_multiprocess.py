@@ -50,13 +50,18 @@ if rank == 0:
     # the enlarged (ratio=2) epoch-0 permutation covers every index
     assert set(merged.tolist()) == set(range(8)), merged
 
-# cross-process loss averaging (reference reduce_loss_dict semantics)
+# cross-process loss averaging — DEFAULT under dist, like the reference
+# (base_model.py:440-451); reduce_losses: false is the explicit opt-out
 from dcpt_tpu.models.base_model import BaseModel
 
-bm = BaseModel({"is_train": False, "rank": rank, "dist": True, "train": {"reduce_losses": True}})
+bm = BaseModel({"is_train": False, "rank": rank, "dist": True, "train": {}})
 reduced = bm.reduce_loss_dict({"l_pix": float(rank + 1), "l_cls": float(10 * (rank + 1))})
 assert abs(reduced["l_pix"] - 1.5) < 1e-6, reduced
 assert abs(reduced["l_cls"] - 15.0) < 1e-6, reduced
+
+bm_off = BaseModel({"is_train": False, "rank": rank, "dist": True, "train": {"reduce_losses": False}})
+local = bm_off.reduce_loss_dict({"l_pix": float(rank + 1)})
+assert abs(local["l_pix"] - float(rank + 1)) < 1e-6, local
 
 # global-mesh collective: psum over both processes' devices
 import jax.numpy as jnp

@@ -100,6 +100,74 @@ class TestDeviceMetrics:
         assert out.shape == (2,)
 
 
+class TestPtAliases:
+    """The reference registers ``calculate_psnr_pt``/``calculate_ssim_pt``
+    (basicsr/metrics/psnr_ssim.py:78,436); a reference-written yml using those
+    names must resolve here and produce the same numbers."""
+
+    def test_psnr_pt_alias_matches_reference(self, reference, img_pair):
+        import torch
+
+        from basicsr.metrics.psnr_ssim import calculate_psnr_pt as ref_pt
+
+        from dcpt_tpu.metrics import calculate_psnr_pt
+
+        a, b = img_pair
+        ours = calculate_psnr_pt(a, b, crop_border=2)  # NCHW, reference layout
+        theirs = float(ref_pt(torch.from_numpy(a), torch.from_numpy(b), crop_border=2).mean())
+        assert ours == pytest.approx(theirs, rel=1e-4)
+
+    def test_ssim_pt_alias_matches_reference(self, reference, img_pair):
+        import torch
+
+        from basicsr.metrics.psnr_ssim import calculate_ssim_pt as ref_pt
+
+        from dcpt_tpu.metrics import calculate_ssim_pt
+
+        a, b = img_pair
+        for image_range in (255, 1.0):  # reference default is 255 even for [0,1] data
+            ours = calculate_ssim_pt(a, b, crop_border=0, image_range=image_range)
+            theirs = float(
+                ref_pt(torch.from_numpy(a), torch.from_numpy(b), crop_border=0, image_range=image_range).mean()
+            )
+            assert ours == pytest.approx(theirs, rel=1e-3)
+
+    def test_pt_alias_via_dispatch_nhwc(self, img_pair):
+        """SRModel dispatches host metrics with input_order='BHWC'."""
+        from dcpt_tpu.metrics import calculate_metric
+
+        a, b = img_pair
+        out = calculate_metric(
+            {"img": a.transpose(0, 2, 3, 1), "img2": b.transpose(0, 2, 3, 1)},
+            {"type": "calculate_psnr_pt", "crop_border": 0, "input_order": "BHWC"},
+        )
+        assert 10 < out < 45
+
+
+class TestRegistrySurface:
+    def test_every_reference_metric_name_resolves(self):
+        """Registry-surface parity: each name the reference registers
+        (grep METRIC_REGISTRY.register over basicsr/metrics) exists here, so
+        any reference yml's ``metrics.*.type`` resolves."""
+        from dcpt_tpu.utils.registry import METRIC_REGISTRY
+
+        reference_names = [
+            "calculate_psnr",        # psnr_ssim.py:11
+            "calculate_psnr_pt",     # psnr_ssim.py:78
+            "calculate_ssim",        # psnr_ssim.py:113
+            "calculate_ssim_matlab", # psnr_ssim.py:253
+            "calculate_msssim",      # psnr_ssim.py:333
+            "calculate_ssim_pt",     # psnr_ssim.py:435
+            "calculate_nrmse",       # psnr_ssim.py:562
+            "calculate_niqe",        # niqe.py:167
+            "calculate_fid",         # fid.py:55
+        ]
+        import dcpt_tpu.metrics  # noqa: F401  (registers on import)
+
+        missing = [n for n in reference_names if n not in METRIC_REGISTRY]
+        assert not missing, f"reference metric names unresolvable here: {missing}"
+
+
 class TestNiqe:
     def test_niqe_matches_reference(self, reference, rng):
         from basicsr.metrics.niqe import calculate_niqe as ref_niqe
