@@ -72,7 +72,10 @@ def _swin_fused_gate(pallas_on: bool, qkv_bias: bool, qk_scale, c: int, heads: i
     """fp32-only: measured on v5e, the fused kernel wins 1.37-1.74x end-to-end
     in fp32 but loses 3x in bf16 (Mosaic bf16 relayouts of the masked-head
     blocks), and XLA-bf16 (20.8 ms @128px) is still slower than Pallas-fp32
-    (18.4 ms) — see PARITY.md "Pallas kernels"."""
+    (18.4 ms) — see PARITY.md "Pallas kernels".  This kernel is a measured
+    WINNER, so it is on by default on TPU (``pallas_winner_enabled``;
+    ``DCPT_TPU_PALLAS=0`` is the kill-switch) — the analog of the reference's
+    instructed ``BASICSR_JIT=True`` fast path (reference README.md:79)."""
     return pallas_on and qkv_bias and qk_scale is None and c % heads == 0 and dtype == jnp.float32
 
 
@@ -112,9 +115,9 @@ class WindowAttention(nn.Module):
         hd = c // heads
         scale = self.qk_scale or hd**-0.5
 
-        from ..ops import pallas_enabled
+        from ..ops import pallas_winner_enabled
 
-        if _swin_fused_gate(pallas_enabled(), self.qkv_bias, self.qk_scale, c, heads, x.dtype):
+        if _swin_fused_gate(pallas_winner_enabled(), self.qkv_bias, self.qk_scale, c, heads, x.dtype):
             # fused (LN+)qkv→softmax→PV→proj kernel (SURVEY §7: SwinIR is
             # small-matmul-bound; one VMEM pass per window tile)
             from ..ops.window_attention import fused_window_attention, fused_window_attention_ln
@@ -149,6 +152,57 @@ class SwinMlp(nn.Module):
         return _dense(self.dim, True, "fc2")(x)
 
 
+def _cp_zero_outer(x: jax.Array, cp: tuple) -> jax.Array:
+    """Zero the OUT-OF-IMAGE halo rows on the two end shards.
+
+    The full-image forward zero-pads every 3×3 conv at the global top/bottom
+    border; under H-sharding the end shards' outer halos would otherwise feed
+    reflect/stale values into those convs.  Re-zeroing before each conv makes
+    the sharded convs' border semantics IDENTICAL to the oracle (cheap: one
+    iota mask).  Interior shards' halos are real neighbour rows — untouched.
+    """
+    axis, n, halo = cp
+    idx = jax.lax.axis_index(axis)
+    ell = x.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, ell, 1, 1), 1)
+    keep = ((idx != 0) | (row >= halo)) & ((idx != n - 1) | (row < ell - halo))
+    return jnp.where(keep, x, jnp.zeros((), x.dtype))
+
+
+def _cp_roll_h(x: jax.Array, shift: int, axis_name: str, n: int, halo: int) -> jax.Array:
+    """EXACT global cyclic roll of the H axis for an H-sharded padded slice.
+
+    Under ``spatial_sharded_apply`` each shard holds global rows
+    ``[k·Hn − halo, (k+1)·Hn + halo)``.  A local ``jnp.roll`` reproduces the
+    global roll for every interior row EXCEPT the rows whose source wraps
+    around the image (the reference SwinIR removed the shifted-window
+    attention mask, so its cyclic shift genuinely attends across the
+    top↔bottom seam — swinir_arch.py:281-317).  Those rows live on the
+    opposite END shard's interior and are fetched with one ``ppermute`` of
+    ``|shift|`` rows — making the sharded roll exact, independent of the halo
+    machinery's outer-border fill.  Requires ``halo ≥ |shift|``.
+    """
+    ss = abs(shift)
+    hn = x.shape[1] - 2 * halo  # interior rows per shard
+    assert halo >= ss, f"cp halo {halo} must cover the window shift {ss}"
+    y = jnp.roll(x, shift, axis=1)
+    idx = jax.lax.axis_index(axis_name)
+    if shift > 0:
+        # shard 0's interior rows [halo, halo+ss) are global rows [0, ss) —
+        # their roll(+ss) source is the image's bottom rows, owned by the
+        # LAST shard's interior tail
+        moved = jax.lax.ppermute(x[:, hn + halo - ss : hn + halo], axis_name, [(n - 1, 0)])
+        patched = jnp.where(idx == 0, moved, y[:, halo : halo + ss])
+        y = jax.lax.dynamic_update_slice_in_dim(y, patched, halo, axis=1)
+    else:
+        # last shard's interior tail is the image's bottom rows — their
+        # roll(−ss) source is the image's top rows, owned by shard 0
+        moved = jax.lax.ppermute(x[:, halo : halo + ss], axis_name, [(0, n - 1)])
+        patched = jnp.where(idx == n - 1, moved, y[:, halo + hn - ss : halo + hn])
+        y = jax.lax.dynamic_update_slice_in_dim(y, patched, halo + hn - ss, axis=1)
+    return y
+
+
 class SwinTransformerBlock(nn.Module):
     """One (S)W-MSA + MLP block over an NHWC map (swinir_arch.py:210-372)."""
 
@@ -159,13 +213,17 @@ class SwinTransformerBlock(nn.Module):
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     qk_scale: float | None = None
+    # context parallelism: (mesh axis, n shards, halo rows) — H rolls become
+    # exact global rolls via _cp_roll_h; everything else in the block is
+    # window-local/per-token and needs no collective
+    cp: tuple | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         b, h, w, c = x.shape
         ws, ss = self.window_size, self.shift_size
 
-        from ..ops import pallas_enabled
+        from ..ops import pallas_winner_enabled
 
         shortcut = x
         # NOTE: the fused shift+partition kernels (ops/window_process.py, the
@@ -173,7 +231,7 @@ class SwinTransformerBlock(nn.Module):
         # XLA's roll+reshape fusion end-to-end on v5e, so the hot path keeps
         # the XLA composition; the fused *attention* kernel below is gated.
         pre_norm = None
-        if _swin_fused_gate(pallas_enabled(), self.qkv_bias, self.qk_scale, c, self.num_heads, x.dtype):
+        if _swin_fused_gate(pallas_winner_enabled(), self.qkv_bias, self.qk_scale, c, self.num_heads, x.dtype):
             # fold norm1 into the attention kernel (LN is per-token, so it
             # commutes with roll + window partition); params via holder so the
             # tree matches the module path exactly
@@ -182,12 +240,22 @@ class SwinTransformerBlock(nn.Module):
         else:
             x = TorchLayerNorm(c, name="norm1")(x)
         if ss > 0:
-            x = jnp.roll(x, shift=(-ss, -ss), axis=(1, 2))
+            x = jnp.roll(x, shift=-ss, axis=2)
+            if self.cp is not None:
+                axis, n, halo = self.cp
+                x = _cp_roll_h(x, -ss, axis, n, halo)
+            else:
+                x = jnp.roll(x, shift=-ss, axis=1)
         xw = window_partition(x, ws)
         xw = WindowAttention(c, self.num_heads, self.qkv_bias, self.qk_scale, name="attn")(xw, pre_norm)
         x = window_reverse(xw, ws, h, w)
         if ss > 0:
-            x = jnp.roll(x, shift=(ss, ss), axis=(1, 2))
+            x = jnp.roll(x, shift=ss, axis=2)
+            if self.cp is not None:
+                axis, n, halo = self.cp
+                x = _cp_roll_h(x, ss, axis, n, halo)
+            else:
+                x = jnp.roll(x, shift=ss, axis=1)
 
         x = shortcut + x
         x = x + SwinMlp(c, int(c * self.mlp_ratio), name="mlp")(TorchLayerNorm(c, name="norm2")(x))
@@ -208,6 +276,7 @@ class RSTB(nn.Module):
     qk_scale: float | None = None
     resi_connection: str = "1conv"
     remat: bool = False
+    cp: tuple | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -223,8 +292,12 @@ class RSTB(nn.Module):
             ss = 0 if (i % 2 == 0 or res <= self.window_size) else ws // 2
             x = Block(
                 self.dim, self.num_heads, ws, ss, self.mlp_ratio, self.qkv_bias, self.qk_scale,
-                name=f"residual_group_blocks_{i}",
+                cp=self.cp, name=f"residual_group_blocks_{i}",
             )(x)
+        if self.cp is not None:
+            # oracle conv border semantics (zero-pad at the global edges)
+            x = _cp_zero_outer(x, self.cp)
+            shortcut = _cp_zero_outer(shortcut, self.cp)
         if self.resi_connection == "1conv":
             x = _conv3(self.dim, "conv")(x)
         else:  # 3conv bottleneck
@@ -232,6 +305,8 @@ class RSTB(nn.Module):
             x = nn.leaky_relu(x, 0.2)
             x = nn.Conv(self.dim // 4, (1, 1), name="conv_2")(x)
             x = nn.leaky_relu(x, 0.2)
+            if self.cp is not None:
+                x = _cp_zero_outer(x, self.cp)
             x = _conv3(self.dim, "conv_4")(x)
         return x + shortcut
 
@@ -259,6 +334,27 @@ class SwinIR(nn.Module):
     # gradient checkpointing: rematerialize each SwinTransformerBlock in the
     # backward pass (param-free option — checkpoints stay interchangeable)
     remat: bool = False
+    # context-parallel inference (SURVEY §5.7 extension; same yml surface as
+    # NAFNet/Restormer/PromptIR): shard H over cp_axis via
+    # parallel.spatial.spatial_sharded_apply with halo=cp_halo.  SwinIR has no
+    # global statistics — the sole cross-shard semantics are the shifted
+    # windows' CYCLIC rolls (the reference attends across the top↔bottom
+    # seam; mask removed, swinir_arch.py:281-317), reproduced exactly with a
+    # ppermute wrap exchange (_cp_roll_h).  cp_halo must be a multiple of
+    # window_size so the shard-local window grid aligns with the global one,
+    # and each shard's interior height (H / cp_shards) must divide by
+    # window_size too.  Param-free: checkpoints stay interchangeable.
+    cp_axis: str | None = None
+    cp_halo: int = 0
+    cp_shards: int = 0
+
+    def _cp(self) -> tuple | None:
+        if self.cp_axis is None:
+            return None
+        assert self.cp_halo % self.window_size == 0 and self.cp_halo > 0, (
+            "cp_halo must be a positive multiple of window_size (window-grid alignment)")
+        assert self.cp_shards > 1, "cp_shards (static mesh-axis size) required with cp_axis"
+        return (self.cp_axis, self.cp_shards, self.cp_halo)
 
     @nn.compact
     def __call__(self, x: jax.Array, skip_tail: bool = False, deterministic: bool = True):
@@ -270,11 +366,19 @@ class SwinIR(nn.Module):
         img_size = (self.img_size, self.img_size) if isinstance(self.img_size, int) else tuple(self.img_size)
         patches_resolution = (img_size[0] // self.patch_size, img_size[1] // self.patch_size)
 
+        cp = self._cp()
+        if cp is not None:
+            assert self.upscale == 1, "SwinIR cp supports upscale == 1 heads (the shipped 5D config)"
+
         if self.in_chans == 3:
             mean = jnp.asarray([0.4488, 0.4371, 0.4040], dtype=x.dtype)
         else:
             mean = jnp.zeros((1,), dtype=x.dtype)
         x = (x - mean) * self.img_range
+        if cp is not None:
+            # out-of-image halo rows become exactly 0 post-normalization, so
+            # conv_first's border matches the oracle's zero padding
+            x = _cp_zero_outer(x, cp)
 
         def forward_features(feat):
             f = feat
@@ -291,7 +395,7 @@ class SwinIR(nn.Module):
                 f = RSTB(
                     embed_dim, patches_resolution, self.depths[i], self.num_heads[i],
                     self.window_size, self.mlp_ratio, self.qkv_bias, self.qk_scale,
-                    self.resi_connection, remat=self.remat, name=f"encode_layers_{i}",
+                    self.resi_connection, remat=self.remat, cp=cp, name=f"encode_layers_{i}",
                 )(f)
                 taps[f"encode_layers.{i}"] = f
             for i in range(num_layers // 2):
@@ -299,31 +403,34 @@ class SwinIR(nn.Module):
                     embed_dim, patches_resolution, self.depths[i + num_layers // 2],
                     self.num_heads[i + num_layers // 2], self.window_size, self.mlp_ratio,
                     self.qkv_bias, self.qk_scale, self.resi_connection, remat=self.remat,
-                    name=f"decode_layers_{i}",
+                    cp=cp, name=f"decode_layers_{i}",
                 )(f)
                 taps[f"decode_layers{i}.residual_group"] = f
             return TorchLayerNorm(embed_dim, name="norm")(f)
 
+        def _z(t):
+            return _cp_zero_outer(t, cp) if cp is not None else t
+
         if self.upsampler == "pixelshuffle":
             x = _conv3(embed_dim, "conv_first")(x)
-            x = _conv3(embed_dim, "conv_after_body")(forward_features(x)) + x
+            x = _conv3(embed_dim, "conv_after_body")(_z(forward_features(x))) + x
             if skip_tail:
                 return None, taps
-            x = nn.leaky_relu(_conv3(num_feat, "conv_before_upsample_0")(x), 0.01)
+            x = nn.leaky_relu(_conv3(num_feat, "conv_before_upsample_0")(_z(x)), 0.01)
             for i in range(int(math.log2(self.upscale))):
                 x = _conv3(4 * num_feat, f"upsample_conv{i}")(x)
                 x = pixel_shuffle(x, 2)
-            x = _conv3(self.in_chans, "conv_last")(x)
+            x = _conv3(self.in_chans, "conv_last")(_z(x))
         elif self.upsampler == "pixelshuffledirect":
             x = _conv3(embed_dim, "conv_first")(x)
-            x = _conv3(embed_dim, "conv_after_body")(forward_features(x)) + x
+            x = _conv3(embed_dim, "conv_after_body")(_z(forward_features(x))) + x
             if skip_tail:
                 return None, taps
-            x = _conv3((self.upscale**2) * self.in_chans, "upsample_conv0")(x)
+            x = _conv3((self.upscale**2) * self.in_chans, "upsample_conv0")(_z(x))
             x = pixel_shuffle(x, self.upscale)
         elif self.upsampler == "nearest+conv":
             x = _conv3(embed_dim, "conv_first")(x)
-            x = _conv3(embed_dim, "conv_after_body")(forward_features(x)) + x
+            x = _conv3(embed_dim, "conv_after_body")(_z(forward_features(x))) + x
             if skip_tail:
                 return None, taps
             x = nn.leaky_relu(_conv3(num_feat, "conv_before_upsample_0")(x), 0.01)
@@ -338,10 +445,10 @@ class SwinIR(nn.Module):
         else:
             # denoise / JPEG-CAR residual head (swinir_arch.py:1099-1105)
             x_first = _conv3(embed_dim, "conv_first")(x)
-            res = _conv3(embed_dim, "conv_after_body")(forward_features(x_first)) + x_first
+            res = _conv3(embed_dim, "conv_after_body")(_z(forward_features(x_first))) + x_first
             if skip_tail:
                 return None, taps
-            x = x + _conv3(self.in_chans, "conv_last")(res)
+            x = x + _conv3(self.in_chans, "conv_last")(_z(res))
             x = x / self.img_range + mean
 
         return x[:, : h_in * self.upscale, : w_in * self.upscale, :], taps

@@ -61,14 +61,18 @@ def _kernel(
     t, n, c = x_ref.shape
     hd = c // num_heads
     scale = hd**-0.5
-    x = x_ref[:].reshape(t * n, c)
+    # bf16 inputs: upcast at the VMEM load so every intermediate stays fp32 —
+    # HBM traffic is bf16 (the bandwidth win) while the in-register math never
+    # touches bf16 layouts (round-2's bf16 kernel kept bf16 intermediates and
+    # lost 3× to Mosaic bf16↔fp32 relayouts of the masked-head blocks)
+    x = x_ref[:].astype(jnp.float32).reshape(t * n, c)
     if ln_eps is not None:
         mu = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
-        x = (x - mu) * jax.lax.rsqrt(var + ln_eps) * lnw_ref[0] + lnb_ref[0]
-    q = (jnp.dot(x, wq_ref[:], preferred_element_type=jnp.float32) + bq_ref[0]) * scale
-    k = jnp.dot(x, wk_ref[:], preferred_element_type=jnp.float32) + bk_ref[0]
-    v = jnp.dot(x, wv_ref[:], preferred_element_type=jnp.float32) + bv_ref[0]
+        x = (x - mu) * jax.lax.rsqrt(var + ln_eps) * lnw_ref[0].astype(jnp.float32) + lnb_ref[0].astype(jnp.float32)
+    q = (jnp.dot(x, wq_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32) + bq_ref[0].astype(jnp.float32)) * scale
+    k = jnp.dot(x, wk_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32) + bk_ref[0].astype(jnp.float32)
+    v = jnp.dot(x, wv_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32) + bv_ref[0].astype(jnp.float32)
     q = q.reshape(t, n, c)
     k = k.reshape(t, n, c)
     v = v.reshape(t, n, c)
@@ -86,8 +90,8 @@ def _kernel(
             attn, v * mask, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-    out = jnp.dot(acc.reshape(t * n, c), wproj_ref[:], preferred_element_type=jnp.float32)
-    out_ref[:] = (out + bproj_ref[0]).reshape(t, n, c).astype(out_ref.dtype)
+    out = jnp.dot(acc.reshape(t * n, c), wproj_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32)
+    out_ref[:] = (out + bproj_ref[0].astype(jnp.float32)).reshape(t, n, c).astype(out_ref.dtype)
 
 
 def _pick_tile(nw: int, n: int, c: int) -> int:

@@ -288,6 +288,29 @@ class TestWindowAttention:
         ref = window_attention_ref(x, wqkv, bqkv, wproj, bproj, heads)
         np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-5)
 
+    def test_fused_bf16_matches_reference(self, rng):
+        """bf16 I/O with fp32 in-kernel compute (VERDICT r2 item 4): the
+        kernel upcasts at the VMEM load, so its output matches the fp32
+        reference on the bf16-rounded inputs to fp32-accumulate tolerance."""
+        from dcpt_tpu.ops.window_attention import fused_window_attention, window_attention_ref
+
+        nw, n, c, heads = 6, 64, 180, 6
+        x = jnp.asarray(rng.standard_normal((nw, n, c)).astype(np.float32) * 0.2).astype(jnp.bfloat16)
+        wqkv = jnp.asarray(rng.standard_normal((c, 3 * c)).astype(np.float32) * 0.05).astype(jnp.bfloat16)
+        bqkv = jnp.asarray(rng.standard_normal(3 * c).astype(np.float32) * 0.02).astype(jnp.bfloat16)
+        wproj = jnp.asarray(rng.standard_normal((c, c)).astype(np.float32) * 0.05).astype(jnp.bfloat16)
+        bproj = jnp.asarray(rng.standard_normal(c).astype(np.float32) * 0.02).astype(jnp.bfloat16)
+        fused = fused_window_attention(x, wqkv, bqkv, wproj, bproj, heads, True)
+        assert fused.dtype == jnp.bfloat16
+        ref = window_attention_ref(
+            *(a.astype(jnp.float32) for a in (x, wqkv, bqkv, wproj, bproj)), heads
+        )
+        # output rounds to bf16 once at the store; inputs share the same
+        # bf16 rounding → only the final store differs from the fp32 math
+        np.testing.assert_allclose(
+            np.asarray(fused, dtype=np.float32), np.asarray(ref), atol=1e-2, rtol=1e-2
+        )
+
     def test_swinir_with_fused_attention_matches(self, rng):
         from dcpt_tpu.archs.swinir_arch import SwinIR
         from dcpt_tpu.ops import enable_pallas
@@ -391,3 +414,27 @@ class TestLnProj:
         finally:
             lp._lp_pallas = orig
         np.testing.assert_allclose(np.asarray(fused), np.asarray(base), atol=3e-5)
+
+
+class TestPallasGatingPolicy:
+    def test_tri_state_modes(self, monkeypatch):
+        """DCPT_TPU_PALLAS: unset→auto (winners on TPU), 0→kill-switch, 1→all."""
+        import jax
+
+        import dcpt_tpu.ops as ops
+
+        orig = ops.pallas_mode()
+        try:
+            ops.enable_pallas("auto")
+            assert not ops.pallas_enabled()  # opt-in kernels stay off
+            monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+            assert ops.pallas_winner_enabled()
+            monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+            assert not ops.pallas_winner_enabled()
+
+            ops.enable_pallas(False)
+            assert not ops.pallas_enabled() and not ops.pallas_winner_enabled()
+            ops.enable_pallas(True)
+            assert ops.pallas_enabled() and ops.pallas_winner_enabled()
+        finally:
+            ops.enable_pallas(orig)
