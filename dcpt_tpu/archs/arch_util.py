@@ -112,9 +112,14 @@ class LayerNorm2d(nn.Module):
             from ..ops import layer_norm_2d
 
             return layer_norm_2d(x, weight, bias, self.eps)
-        mu = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
-        y = (x - mu) * jax.lax.rsqrt(var + self.eps)
+        # normalization statistics in fp32 even under bf16 mixed precision
+        # (the classic bf16 LN failure mode: 8-bit mantissa cancels in
+        # mean/variance); output returns to the compute dtype, so no fp32
+        # creep into downstream matmuls
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+        y = ((xf - mu) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
         return y * weight + bias
 
 

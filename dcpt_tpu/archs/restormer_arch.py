@@ -55,13 +55,15 @@ class ChannelLayerNorm(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         weight = self.param("weight", nn.initializers.ones, (self.dim,))
-        mu = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+        # statistics in fp32 under mixed precision (see arch_util.LayerNorm2d)
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
         if self.bias:
             bias = self.param("bias", nn.initializers.zeros, (self.dim,))
-            return (x - mu) * jax.lax.rsqrt(var + 1e-6) * weight + bias
+            return ((xf - mu) * jax.lax.rsqrt(var + 1e-6)).astype(x.dtype) * weight + bias
         # BiasFree: centred variance but un-centred output
-        return x * jax.lax.rsqrt(var + 1e-6) * weight
+        return (xf * jax.lax.rsqrt(var + 1e-6)).astype(x.dtype) * weight
 
 
 class MDTA(nn.Module):

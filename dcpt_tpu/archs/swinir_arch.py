@@ -41,9 +41,11 @@ class TorchLayerNorm(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         weight = self.param("weight", nn.initializers.ones, (self.dim,))
         bias = self.param("bias", nn.initializers.zeros, (self.dim,))
-        mu = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
-        return (x - mu) * jax.lax.rsqrt(var + self.eps) * weight + bias
+        # statistics in fp32 under mixed precision (see arch_util.LayerNorm2d)
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+        return ((xf - mu) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype) * weight + bias
 
 
 def _dense(features: int, bias: bool = True, name: str | None = None) -> nn.Dense:

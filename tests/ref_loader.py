@@ -41,6 +41,7 @@ def _install_stubs() -> None:
 
     tv = _stub("torchvision")
     tv.__path__ = []
+    tv.__version__ = "0.0-stub"
     tvu = _stub("torchvision.utils", make_grid=lambda *a, **k: None)
     tv.utils = tvu
 

@@ -13,7 +13,11 @@ import jax.numpy as jnp
 
 
 class TestConvergence:
-    def test_nafnet_learns_denoising(self, tmp_path, rng):
+    @pytest.mark.parametrize("mixed", [False, True], ids=["fp32", "mixed_bf16"])
+    def test_nafnet_learns_denoising(self, tmp_path, rng, mixed):
+        """Same dB bar in fp32 AND mixed precision (VERDICT r2 item 6): a
+        bf16 step that converges worse than the fp32 one fails here, not in
+        production."""
         from dcpt_tpu.models import build_model
 
         opt = {
@@ -28,6 +32,7 @@ class TestConvergence:
                 "optim_g": {"type": "Adam", "lr": 2e-3},
                 "scheduler": {"type": "CosineAnnealingRestartLR", "periods": [150], "restart_weights": [1], "eta_min": 1e-5},
                 "pixel_opt": {"type": "PSNRLoss"},
+                "mixed_precision": mixed,
                 "total_iter": 150,
             },
             "val": {"metrics": {"psnr": {"type": "calculate_psnr", "crop_border": 0, "image_range": 255.0}}},
@@ -67,7 +72,8 @@ class TestConvergence:
 
 
 class TestDCPTConvergence:
-    def test_classifier_learns_degradation_types(self, tmp_path, rng):
+    @pytest.mark.parametrize("mixed", [False, True], ids=["fp32", "mixed_bf16"])
+    def test_classifier_learns_degradation_types(self, tmp_path, rng, mixed):
         """DCPT joint step: the probe must learn to separate two distinguishable
         degradations (heavy noise vs heavy blur-free darkening) well above chance."""
         from dcpt_tpu.models import build_model
@@ -85,6 +91,7 @@ class TestDCPTConvergence:
                 "scheduler": {"type": "CosineAnnealingRestartLR", "periods": [100], "restart_weights": [1]},
                 "pixel_opt": {"type": "L1Loss"},
                 "classify_opt": {"type": "CrossEntropyLoss"},
+                "mixed_precision": mixed,
                 "total_iter": 100,
             },
             "val": {"metrics": {"psnr": {"type": "calculate_psnr", "crop_border": 0, "image_range": 255.0}}},
