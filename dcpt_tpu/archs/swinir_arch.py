@@ -70,15 +70,24 @@ def window_reverse(windows: jax.Array, ws: int, h: int, w: int) -> jax.Array:
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, -1)
 
 
+import os as _os
+
+# bf16 routing through the fused kernel (it upcasts to fp32 in VMEM, so only
+# HBM traffic is bf16): opt-in until the end-to-end A/B proves it wins —
+# flip via env for measurement runs (scripts/bench_swin_bf16.py)
+_SWIN_BF16_KERNEL = _os.environ.get("DCPT_TPU_SWIN_BF16", "0") == "1"
+
+
 def _swin_fused_gate(pallas_on: bool, qkv_bias: bool, qk_scale, c: int, heads: int, dtype) -> bool:
-    """fp32-only: measured on v5e, the fused kernel wins 1.37-1.74x end-to-end
-    in fp32 but loses 3x in bf16 (Mosaic bf16 relayouts of the masked-head
-    blocks), and XLA-bf16 (20.8 ms @128px) is still slower than Pallas-fp32
-    (18.4 ms) — see PARITY.md "Pallas kernels".  This kernel is a measured
-    WINNER, so it is on by default on TPU (``pallas_winner_enabled``;
-    ``DCPT_TPU_PALLAS=0`` is the kill-switch) — the analog of the reference's
-    instructed ``BASICSR_JIT=True`` fast path (reference README.md:79)."""
-    return pallas_on and qkv_bias and qk_scale is None and c % heads == 0 and dtype == jnp.float32
+    """Measured on v5e, the fused kernel wins 1.32-1.78x end-to-end in fp32
+    — a measured WINNER, so it is on by default on TPU
+    (``pallas_winner_enabled``; ``DCPT_TPU_PALLAS=0`` is the kill-switch),
+    the analog of the reference's instructed ``BASICSR_JIT=True`` fast path
+    (reference README.md:79).  bf16 routing is gated by ``_SWIN_BF16_KERNEL``
+    (the round-2 all-bf16 kernel lost 3x to Mosaic relayouts; the round-3
+    kernel keeps fp32 register math with bf16 HBM I/O — see PARITY.md)."""
+    dtype_ok = dtype == jnp.float32 or (_SWIN_BF16_KERNEL and dtype == jnp.bfloat16)
+    return pallas_on and qkv_bias and qk_scale is None and c % heads == 0 and dtype_ok
 
 
 class _DenseParams(nn.Module):

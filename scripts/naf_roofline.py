@@ -1,0 +1,136 @@
+"""NAFNet bf16 roofline accounting @bs32 128px (VERDICT r2 weak #2).
+
+Answers: is the 27% bf16 MFU the dwconv/VPU/bandwidth ceiling, or is a 2×
+sitting in layout/fusion?  Methodology:
+
+* XLA cost analysis gives per-forward FLOPs and HLO-level bytes accessed;
+  with the measured chained-dependency time this yields achieved TFLOPS (vs
+  197 bf16 peak) AND achieved HBM GB/s (vs ~819 peak) — whichever ratio is
+  higher is the binding roofline.
+* Stage attribution: flagship enc [1,1,1,28] vs [1,1,1,1] isolates the
+  28-block c=512 @16×16 deep stage (27 blocks of delta); middle_blk 1→0
+  isolates the c=1024 @8×8 middle.
+* A dense-equivalent microbench prices the depthwise 3×3 (VPU work, MXU-free)
+  against the 1×1 convs (MXU) at the deep-stage shape.
+
+Usage: python scripts/naf_roofline.py [--batch 32] [--dtype bf16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+V5E_BF16_TFLOPS = 197.0
+V5E_FP32_TFLOPS = 49.0  # no fp32 MXU mode; fp32 runs ~1/4 rate
+V5E_HBM_GBS = 819.0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--dtype", choices=["bf16", "fp32"], default="bf16")
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from dcpt_tpu.archs import build_network
+
+    cpu = jax.devices("cpu")[0]
+    accel = jax.devices()[0]
+    dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    peak_tf = V5E_BF16_TFLOPS if args.dtype == "bf16" else V5E_FP32_TFLOPS
+    bs, size = args.batch, args.size
+    rng = np.random.default_rng(0)
+
+    def build(enc, mid):
+        return build_network({
+            "type": "NAFNetBaseline", "width": 64, "enc_blk_nums": enc,
+            "middle_blk_num": mid, "dec_blk_nums": [1, 1, 1, 1], "window_size": 16,
+        })
+
+    def measure(net, tag):
+        with jax.default_device(cpu):
+            params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)))["params"]
+        p = jax.device_put(jax.tree.map(lambda a: a.astype(dt), params), accel)
+        x = jax.device_put(jnp.asarray(rng.random((bs, size, size, 3), dtype=np.float32), dtype=dt), accel)
+        f = jax.jit(lambda p, x: net.apply({"params": p}, x)[0].astype(dt))
+        cost = {}
+        try:
+            cost = f.lower(p, x).compile().cost_analysis()
+        except Exception:
+            pass
+        np.asarray(f(p, x)[0, 0, 0, 0])
+        t0 = time.perf_counter()
+        y = x
+        for _ in range(args.iters):
+            y = f(p, y)
+        np.asarray(y[0, 0, 0, 0])
+        dtm = (time.perf_counter() - t0) / args.iters
+        gf = cost.get("flops", 0.0) / 1e9
+        gb = cost.get("bytes accessed", 0.0) / 1e9
+        tf = gf / dtm / 1e3
+        bw = gb / dtm
+        print(f"{tag:<34s} {dtm * 1e3:8.2f} ms  {gf:9.1f} GF  {gb:7.2f} GB  "
+              f"achieved {tf:6.1f} TF ({100 * tf / peak_tf:4.1f}% peak)  "
+              f"{bw:6.0f} GB/s ({100 * bw / V5E_HBM_GBS:4.1f}% HBM)", flush=True)
+        return dict(ms=dtm * 1e3, gflop=gf, gbytes=gb, tflops=tf, gbs=bw)
+
+    print(f"NAFNet roofline bs={bs} @{size}px {args.dtype}  "
+          f"(peaks: {peak_tf} TFLOPS, {V5E_HBM_GBS} GB/s)", flush=True)
+    full = measure(build([1, 1, 1, 28], 1), "flagship enc[1,1,1,28] mid1")
+    slim = measure(build([1, 1, 1, 1], 1), "enc[1,1,1,1] mid1 (deep stage -27)")
+    nomid = measure(build([1, 1, 1, 28], 0), "enc[1,1,1,28] mid0 (no middle)")
+
+    deep_ms = (full["ms"] - slim["ms"]) / 27
+    deep_gf = (full["gflop"] - slim["gflop"]) / 27
+    deep_gb = (full["gbytes"] - slim["gbytes"]) / 27
+    print(f"\nper c=512 NAFBlock (16x16): {deep_ms:6.3f} ms  {deep_gf:6.2f} GF  {deep_gb:6.3f} GB"
+          f"  -> {deep_gf / deep_ms:5.1f} TF ({100 * deep_gf / deep_ms / peak_tf:4.1f}%)"
+          f"  {deep_gb / deep_ms * 1000 / 1e3:6.0f} GB/s ({100 * deep_gb / deep_ms / V5E_HBM_GBS:4.1f}%)",
+          flush=True)
+    mid_ms = full["ms"] - nomid["ms"]
+    print(f"middle (c=1024 @8x8, 1 blk): {mid_ms:6.3f} ms", flush=True)
+
+    # dwconv vs 1x1 pricing at the deep-stage shape (B,16,16,1024 grouped 3x3
+    # vs 512->1024 1x1): VPU-bound grouped conv against MXU matmul
+    h = size // 8
+    xdw = jax.device_put(jnp.asarray(rng.random((bs, h, h, 1024), dtype=np.float32), dtype=dt), accel)
+    wdw = jax.device_put(jnp.asarray(rng.random((3, 3, 1, 1024), dtype=np.float32), dtype=dt), accel)
+    x11 = jax.device_put(jnp.asarray(rng.random((bs, h, h, 512), dtype=np.float32), dtype=dt), accel)
+    w11 = jax.device_put(jnp.asarray(rng.random((1, 1, 512, 1024), dtype=np.float32), dtype=dt), accel)
+
+    def conv(x, w, groups):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups)
+
+    for tag, fn, x0 in (
+        ("dwconv 3x3 g=1024 @16x16", jax.jit(lambda x: conv(x, wdw, 1024)), xdw),
+        ("conv1x1 512->1024 @16x16", jax.jit(lambda x: conv(x, w11, 512 // 512)), x11),
+    ):
+        y = fn(x0)
+        np.asarray(y[0, 0, 0, 0])
+        t0 = time.perf_counter()
+        y2 = x0
+        for _ in range(30):
+            y2 = fn(y2)[..., : x0.shape[-1]] if y.shape != x0.shape else fn(y2)
+        np.asarray(y2[0, 0, 0, 0])
+        print(f"{tag}: {(time.perf_counter() - t0) / 30 * 1e3:.3f} ms/op (chained x30)", flush=True)
+
+    print(json.dumps({"full_ms": round(full["ms"], 2), "deep_block_ms": round(deep_ms, 3),
+                      "mfu_pct": round(100 * full["tflops"] / peak_tf, 1),
+                      "hbm_pct": round(100 * full["gbs"] / V5E_HBM_GBS, 1)}))
+
+
+if __name__ == "__main__":
+    main()
