@@ -76,6 +76,9 @@ import os as _os
 # HBM traffic is bf16): opt-in until the end-to-end A/B proves it wins —
 # flip via env for measurement runs (scripts/bench_swin_bf16.py)
 _SWIN_BF16_KERNEL = _os.environ.get("DCPT_TPU_SWIN_BF16", "0") == "1"
+# v3 whole-block kernel (attention + both residuals + MLP in one VMEM pass,
+# ops/window_attention.fused_swin_block): opt-in pending its end-to-end A/B
+_SWIN_BLOCK_KERNEL = _os.environ.get("DCPT_TPU_SWIN_BLOCK", "0") == "1"
 
 
 def _swin_fused_gate(pallas_on: bool, qkv_bias: bool, qk_scale, c: int, heads: int, dtype) -> bool:
@@ -109,6 +112,31 @@ class _LnParams(nn.Module):
         w = self.param("weight", nn.initializers.ones, (self.dim,))
         b = self.param("bias", nn.initializers.zeros, (self.dim,))
         return w, b
+
+
+class _AttnParams(nn.Module):
+    """Param-tree twin of WindowAttention for the whole-block kernel path."""
+
+    c: int
+
+    @nn.compact
+    def __call__(self):
+        wqkv, bqkv = _DenseParams(self.c, 3 * self.c, name="qkv")()
+        wproj, bproj = _DenseParams(self.c, self.c, name="proj")()
+        return wqkv, bqkv, wproj, bproj
+
+
+class _MlpParams(nn.Module):
+    """Param-tree twin of SwinMlp for the whole-block kernel path."""
+
+    c: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _DenseParams(self.c, self.hidden, name="fc1")()
+        w2, b2 = _DenseParams(self.hidden, self.c, name="fc2")()
+        return w1, b1, w2, b2
 
 
 class WindowAttention(nn.Module):
@@ -235,6 +263,41 @@ class SwinTransformerBlock(nn.Module):
         ws, ss = self.window_size, self.shift_size
 
         from ..ops import pallas_winner_enabled
+
+        if _SWIN_BLOCK_KERNEL and _swin_fused_gate(
+            pallas_winner_enabled(), self.qkv_bias, self.qk_scale, c, self.num_heads, x.dtype
+        ):
+            # v3: the WHOLE block in one kernel — rolls/partition are pure
+            # permutations and every op in the block is per-token or
+            # window-local, so the shortcut and MLP ride along in window
+            # coordinates (one HBM read + one write per block)
+            from ..ops.window_attention import fused_swin_block
+
+            ln1_w, ln1_b = _LnParams(c, name="norm1")()
+            wqkv, bqkv, wproj, bproj = _AttnParams(c, name="attn")()
+            ln2_w, ln2_b = _LnParams(c, name="norm2")()
+            wfc1, bfc1, wfc2, bfc2 = _MlpParams(c, int(c * self.mlp_ratio), name="mlp")()
+
+            if ss > 0:
+                x = jnp.roll(x, shift=-ss, axis=2)
+                if self.cp is not None:
+                    axis, n_sh, halo = self.cp
+                    x = _cp_roll_h(x, -ss, axis, n_sh, halo)
+                else:
+                    x = jnp.roll(x, shift=-ss, axis=1)
+            zw = fused_swin_block(
+                window_partition(x, ws), ln1_w, ln1_b, wqkv, bqkv, wproj, bproj,
+                ln2_w, ln2_b, wfc1, bfc1, wfc2, bfc2, self.num_heads,
+            )
+            z = window_reverse(zw, ws, h, w)
+            if ss > 0:
+                z = jnp.roll(z, shift=ss, axis=2)
+                if self.cp is not None:
+                    axis, n_sh, halo = self.cp
+                    z = _cp_roll_h(z, ss, axis, n_sh, halo)
+                else:
+                    z = jnp.roll(z, shift=ss, axis=1)
+            return z
 
         shortcut = x
         # NOTE: the fused shift+partition kernels (ops/window_process.py, the

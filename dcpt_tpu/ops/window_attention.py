@@ -176,3 +176,139 @@ def _bwd_ln(num_heads, ln_eps, interpret, res, g):
 
 
 fused_window_attention_ln.defvjp(_fwd_ln, _bwd_ln)
+
+
+# ---------------------------------------------------------------------------
+# v3: whole-SwinTransformerBlock kernel — x + attn(LN1(x)) + MLP(LN2(·)) in
+# one VMEM pass per window tile.
+#
+# Every op between window partition and reverse is per-token (LNs, residual
+# adds, MLP) or window-local (attention), and rolls/partitions are pure
+# permutations, so the block's BOTH residual branches can run in window
+# coordinates: the kernel reads each x tile once and writes the final block
+# output once, where the attention-only kernel still materialised the
+# attention output, the residual sum and the MLP intermediates in HBM.
+# bf16 I/O upcasts at the load like the v2 kernel.
+# ---------------------------------------------------------------------------
+
+
+def swin_block_ref(x, ln1_w, ln1_b, wqkv, bqkv, wproj, bproj, ln2_w, ln2_b,
+                   wfc1, bfc1, wfc2, bfc2, num_heads: int, eps: float = 1e-5):
+    """jnp twin over (NW, N, C) windows of the ROLLED raw feature map."""
+    def ln(t, w, b):
+        mu = jnp.mean(t, axis=-1, keepdims=True)
+        var = jnp.mean((t - mu) ** 2, axis=-1, keepdims=True)
+        return (t - mu) * jax.lax.rsqrt(var + eps) * w + b
+
+    attn = window_attention_ref(ln(x, ln1_w, ln1_b), wqkv, bqkv, wproj, bproj, num_heads)
+    y = x + attn
+    h = jax.nn.gelu(ln(y, ln2_w, ln2_b) @ wfc1 + bfc1, approximate=False)
+    return y + h @ wfc2 + bfc2
+
+
+def _block_kernel(
+    x_ref, l1w_ref, l1b_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+    wproj_ref, bproj_ref, l2w_ref, l2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+    out_ref, *, num_heads: int, eps: float,
+):
+    t, n, c = x_ref.shape
+    hd = c // num_heads
+    scale = hd**-0.5
+    f32 = jnp.float32
+    x = x_ref[:].astype(f32).reshape(t * n, c)
+
+    def ln(tns, w_ref, b_ref):
+        mu = jnp.mean(tns, axis=-1, keepdims=True)
+        var = jnp.mean((tns - mu) ** 2, axis=-1, keepdims=True)
+        return (tns - mu) * jax.lax.rsqrt(var + eps) * w_ref[0].astype(f32) + b_ref[0].astype(f32)
+
+    xn = ln(x, l1w_ref, l1b_ref)
+    q = (jnp.dot(xn, wq_ref[:].astype(f32), preferred_element_type=f32) + bq_ref[0].astype(f32)) * scale
+    k = jnp.dot(xn, wk_ref[:].astype(f32), preferred_element_type=f32) + bk_ref[0].astype(f32)
+    v = jnp.dot(xn, wv_ref[:].astype(f32), preferred_element_type=f32) + bv_ref[0].astype(f32)
+    q = q.reshape(t, n, c)
+    k = k.reshape(t, n, c)
+    v = v.reshape(t, n, c)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c), 2)
+    acc = jnp.zeros((t, n, c), f32)
+    for h in range(num_heads):
+        mask = ((lane >= h * hd) & (lane < (h + 1) * hd)).astype(f32)
+        scores = jax.lax.dot_general(
+            q * mask, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))), preferred_element_type=f32)
+        attn = jax.nn.softmax(scores, axis=-1)
+        acc = acc + jax.lax.dot_general(
+            attn, v * mask, dimension_numbers=(((2,), (1,)), ((0,), (0,))), preferred_element_type=f32)
+
+    y = x + jnp.dot(acc.reshape(t * n, c), wproj_ref[:].astype(f32), preferred_element_type=f32) \
+        + bproj_ref[0].astype(f32)
+    yn = ln(y, l2w_ref, l2b_ref)
+    hmid = jnp.dot(yn, wfc1_ref[:].astype(f32), preferred_element_type=f32) + bfc1_ref[0].astype(f32)
+    hmid = jax.nn.gelu(hmid, approximate=False)
+    z = y + jnp.dot(hmid, wfc2_ref[:].astype(f32), preferred_element_type=f32) + bfc2_ref[0].astype(f32)
+    out_ref[:] = z.reshape(t, n, c).astype(out_ref.dtype)
+
+
+def _pick_tile_block(nw: int, n: int, c: int, hidden: int) -> int:
+    # live fp32 buffers per instance: x/xn/q/k/v/acc/y/yn/z (≈9 × (t,n,c_pad))
+    # + the MLP hidden (t, n, hid_pad); weights are grid-resident
+    c_pad = -(-c // 128) * 128
+    hid_pad = -(-hidden // 128) * 128
+    per_row = 4 * n * (9 * c_pad + hid_pad)
+    budget = 10 * 1024 * 1024
+    for t in (64, 32, 16, 8, 4, 2, 1):
+        if nw % t == 0 and t * per_row <= budget:
+            return t
+    return 1
+
+
+def _swin_block_pallas(x, ln1_w, ln1_b, wqkv, bqkv, wproj, bproj, ln2_w, ln2_b,
+                       wfc1, bfc1, wfc2, bfc2, num_heads, eps, interpret):
+    nw, n, c = x.shape
+    hidden = wfc1.shape[1]
+    t = _pick_tile_block(nw, n, c, hidden)
+    wq, wk, wv = wqkv[:, :c], wqkv[:, c : 2 * c], wqkv[:, 2 * c :]
+    bq, bk, bv = bqkv[:c][None], bqkv[c : 2 * c][None], bqkv[2 * c :][None]
+    cspec = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)  # noqa: E731
+    return pl.pallas_call(
+        functools.partial(_block_kernel, num_heads=num_heads, eps=eps),
+        grid=(nw // t,),
+        in_specs=[
+            pl.BlockSpec((t, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            cspec((1, c)), cspec((1, c)),                       # ln1
+            cspec((c, c)), cspec((c, c)), cspec((c, c)),        # wq wk wv
+            cspec((1, c)), cspec((1, c)), cspec((1, c)),        # bq bk bv
+            cspec((c, c)), cspec((1, c)),                       # proj
+            cspec((1, c)), cspec((1, c)),                       # ln2
+            cspec((c, hidden)), cspec((1, hidden)),             # fc1
+            cspec((hidden, c)), cspec((1, c)),                  # fc2
+        ],
+        out_specs=pl.BlockSpec((t, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nw, n, c), x.dtype),
+        interpret=interpret,
+    )(x, ln1_w[None], ln1_b[None], wq, wk, wv, bq, bk, bv, wproj, bproj[None],
+      ln2_w[None], ln2_b[None], wfc1, bfc1[None], wfc2, bfc2[None])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15))
+def fused_swin_block(x, ln1_w, ln1_b, wqkv, bqkv, wproj, bproj, ln2_w, ln2_b,
+                     wfc1, bfc1, wfc2, bfc2, num_heads: int, eps: float = 1e-5,
+                     interpret: bool = False):
+    """Whole Swin block over (NW, N, C) windows of the rolled RAW map."""
+    return _swin_block_pallas(x, ln1_w, ln1_b, wqkv, bqkv, wproj, bproj, ln2_w,
+                              ln2_b, wfc1, bfc1, wfc2, bfc2, num_heads, eps, interpret)
+
+
+def _fwd_block(x, ln1_w, ln1_b, wqkv, bqkv, wproj, bproj, ln2_w, ln2_b,
+               wfc1, bfc1, wfc2, bfc2, num_heads, eps, interpret):
+    out = fused_swin_block(x, ln1_w, ln1_b, wqkv, bqkv, wproj, bproj, ln2_w, ln2_b,
+                           wfc1, bfc1, wfc2, bfc2, num_heads, eps, interpret)
+    return out, (x, ln1_w, ln1_b, wqkv, bqkv, wproj, bproj, ln2_w, ln2_b, wfc1, bfc1, wfc2, bfc2)
+
+
+def _bwd_block(num_heads, eps, interpret, res, g):
+    _, vjp = jax.vjp(lambda *a: swin_block_ref(*a, num_heads, eps), *res)
+    return vjp(g)
+
+
+fused_swin_block.defvjp(_fwd_block, _bwd_block)

@@ -1,15 +1,16 @@
-"""SwinIR bf16 A/B on the real chip (VERDICT r2 item 4).
+"""SwinIR kernel A/B matrix on the real chip (VERDICT r2 item 4 + v3).
 
-Three contenders on the verbatim test_SwinIR_5d network, min-of-interleaved
-passes (the PARITY methodology):
+Contenders on the verbatim test_SwinIR_5d network, min-of-interleaved passes
+(the PARITY methodology):
 
-  1. XLA bf16              (round-2's best bf16 path)
-  2. Pallas-kernel bf16    (round-3 kernel: bf16 HBM I/O, fp32 VMEM math)
-  3. Pallas-kernel fp32    (the shipped fp32 default, for reference)
+  1. xla_bf16      (round-2's best bf16 path)
+  2. attn_bf16     (v2 attention kernel: bf16 HBM I/O, fp32 VMEM math)
+  3. attn_fp32     (the shipped fp32 default)
+  4. block_fp32    (v3 whole-block kernel: attn + residuals + MLP, one pass)
+  5. block_bf16    (v3 with bf16 I/O)
 
-Run: DCPT_TPU_SWIN_BF16=1 python scripts/bench_swin_bf16.py [--bs 4] [--size 128]
-(the env var routes bf16 through the kernel; the script A/Bs against XLA by
-toggling the pallas mode, so one process measures all three).
+Run: python scripts/bench_swin_bf16.py [--bs 4] [--size 128]
+(the script toggles the module gates itself, so one process measures all).
 """
 
 from __future__ import annotations
@@ -41,7 +42,7 @@ def main() -> None:
     from dcpt_tpu.archs import swinir_arch
     from dcpt_tpu.ops import enable_pallas
 
-    assert swinir_arch._SWIN_BF16_KERNEL, "set DCPT_TPU_SWIN_BF16=1 before import"
+    swinir_arch._SWIN_BF16_KERNEL = True
 
     cpu = jax.devices("cpu")[0]
     accel = jax.devices()[0]
@@ -55,21 +56,25 @@ def main() -> None:
     with jax.default_device(cpu):
         params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)))["params"]
 
-    cases = {}  # name -> (mode, dtype)
-    for name, (mode, dtype) in {
-        "xla_bf16": ("off", jnp.bfloat16),
-        "pallas_bf16": ("auto", jnp.bfloat16),
-        "pallas_fp32": ("auto", jnp.float32),
+    cases = {}  # name -> (mode, dtype, block_kernel)
+    for name, (mode, dtype, block) in {
+        "xla_bf16": ("off", jnp.bfloat16, False),
+        "attn_bf16": ("auto", jnp.bfloat16, False),
+        "attn_fp32": ("auto", jnp.float32, False),
+        "block_fp32": ("auto", jnp.float32, True),
+        "block_bf16": ("auto", jnp.bfloat16, True),
     }.items():
         p = jax.device_put(jax.tree.map(lambda a: a.astype(dtype), params), accel)
         x = jax.device_put(jnp.asarray(rng.random((bs, size, size, 3), dtype=np.float32), dtype=dtype), accel)
         enable_pallas(mode)
+        swinir_arch._SWIN_BLOCK_KERNEL = block
         f = jax.jit(lambda p, x, _n=net, _d=dtype: _n.apply({"params": p}, x)[0].astype(_d))
         t0 = time.perf_counter()
         np.asarray(f(p, x)[0, 0, 0, 0])  # trace+compile under this mode
         print(f"{name}: compiled+warm in {time.perf_counter() - t0:.1f}s", flush=True)
         cases[name] = (f, p, x)
     enable_pallas("off")
+    swinir_arch._SWIN_BLOCK_KERNEL = False
 
     best = {name: float("inf") for name in cases}
     for rep in range(args.reps):

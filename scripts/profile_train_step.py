@@ -112,34 +112,50 @@ def main() -> None:
     results = {}
     print(f"DCPT train-step profile bs={bs} @{gt}px {'mixed' if args.mixed else 'fp32'}", flush=True)
 
+    # NOTE: params must be jit ARGUMENTS, not closure captures — captured
+    # arrays become inline constants and blow the axon remote-compile body
+    # limit (HTTP 413) at 68M params.
+
     # --- A: full forward on GT ---
     @jax.jit
-    def fwd_full(x):
-        out, _ = net_g.apply({"params": cast(pg)}, x.astype(dt))
+    def fwd_full(p, x):
+        out, _ = net_g.apply({"params": cast(p)}, x.astype(dt))
         return out.astype(jnp.float32)
 
-    results["A_fwd_full_ms"] = chain_time(fwd_full, gti, args.iters, "A net_g full fwd (gt)")
-    results["A_gflops"] = flops_of(fwd_full, gti) / 1e9
+    results["A_fwd_full_ms"] = chain_time(lambda x: fwd_full(pg, x), gti, args.iters, "A net_g full fwd (gt)")
+    results["A_gflops"] = flops_of(fwd_full, pg, gti) / 1e9
 
     # --- B: skip_tail forward on LQ (returns last tap to chain) ---
     @jax.jit
-    def fwd_hook(x):
-        _, taps = net_g.apply({"params": cast(pg)}, x.astype(dt), skip_tail=True)
+    def fwd_hook(p, x):
+        _, taps = net_g.apply({"params": cast(p)}, x.astype(dt), skip_tail=True)
         feats = select_taps(taps, hook_names)
-        return feats[0][:, :gt, :gt, :3].astype(jnp.float32)
+        # chainable output: the last 'ups' tap is full-resolution (H, W, width)
+        return feats[-1][:, :, :, :3].astype(jnp.float32)
 
-    results["B_fwd_hook_ms"] = chain_time(fwd_hook, lq, args.iters, "B net_g skip_tail fwd (lq)")
+    results["B_fwd_hook_ms"] = chain_time(lambda x: fwd_hook(pg, x), lq, args.iters, "B net_g skip_tail fwd (lq)")
 
     # --- C: classifier forward (features recomputed once, static) ---
     _, taps0 = jax.jit(lambda p, x: net_g.apply({"params": p}, x, skip_tail=True))(pg, lq)
     feats0 = [jax.lax.stop_gradient(f) for f in select_taps(taps0, hook_names)[::-1]]
 
     @jax.jit
-    def fwd_dc(x):
-        logits = net_dc.apply({"params": cast(pdc)}, x.astype(dt), [cast(f) for f in feats0])
+    def fwd_dc(p, feats, x):
+        logits = net_dc.apply({"params": cast(p)}, x.astype(dt), [cast(f) for f in feats])
         return x + jnp.mean(logits).astype(jnp.float32) * 0
 
-    results["C_fwd_dc_ms"] = chain_time(fwd_dc, lq, args.iters, "C net_dc fwd")
+    results["C_fwd_dc_ms"] = chain_time(lambda x: fwd_dc(pdc, feats0, x), lq, args.iters, "C net_dc fwd")
+    del feats0, taps0
+
+    # --- F early (before grad buffers exist — HBM headroom) ---
+    def full_step(state):
+        a, b, c_, d = state
+        a, b, c_, d, _ = model._train_step(a, b, c_, d, lq, gti, idx, lr, lr)
+        return (a, b, c_, d)
+
+    state = jax.tree_util.tree_map(lambda x: x + 0 if hasattr(x, "dtype") else x, (pg, pdc, og, odc))
+    results["F_full_step_ms"] = chain_time(full_step, state, args.iters, "F full fused step")
+    del state
 
     # --- D: combined value_and_grad (no optimizer) ---
     def loss_fn(pg_, pdc_, lq_, gt_):
@@ -163,26 +179,18 @@ def main() -> None:
     results["D2_gflops"] = flops_of(g_only, pg, gti) / 1e9
 
     # --- E: optimizer update alone (grads precomputed, donated-free) ---
-    gg, gdc = jax.jit(lambda: jax.grad(loss_fn, argnums=(0, 1))(pg, pdc, lq, gti))()
-    gg = jax.device_put(gg, accel)
+    gg, _gdc = grad_fn(pg, pdc, lq, gti)
 
     @jax.jit
-    def opt_step(p):
-        up, _ = model.optimizer_g.update(gg, og, p)
+    def opt_step(g, o, p):
+        up, _ = model.optimizer_g.update(g, o, p)
         import optax
 
         return optax.apply_updates(p, jax.tree_util.tree_map(lambda u: -lr * u, up))
 
-    results["E_opt_ms"] = chain_time(opt_step, pg, args.iters, "E optimizer_g update+apply")
+    results["E_opt_ms"] = chain_time(lambda p: opt_step(gg, og, p), pg, args.iters, "E optimizer_g update+apply")
 
-    # --- F: the shipped fused step ---
-    def full_step(state):
-        a, b, c, d = state
-        a, b, c, d, _ = model._train_step(a, b, c, d, lq, gti, idx, lr, lr)
-        return (a, b, c, d)
-
-    state = jax.tree_util.tree_map(lambda x: x + 0 if hasattr(x, "dtype") else x, (pg, pdc, og, odc))
-    results["F_full_step_ms"] = chain_time(full_step, state, args.iters, "F full fused step")
+    del gg
 
     mpix = bs * gt * gt / 1e6 / results["F_full_step_ms"]
     print(f"\n  full step: {mpix:.2f} MPix/s;  D grad covers "

@@ -311,6 +311,48 @@ class TestWindowAttention:
             np.asarray(fused, dtype=np.float32), np.asarray(ref), atol=1e-2, rtol=1e-2
         )
 
+    def test_fused_swin_block_matches_reference(self, rng):
+        """v3 whole-block kernel == jnp composition at the shipped dims."""
+        from dcpt_tpu.ops.window_attention import fused_swin_block, swin_block_ref
+
+        nw, n, c, heads = 6, 64, 180, 6
+        hid = int(c * 2.0)
+        x = jnp.asarray(rng.standard_normal((nw, n, c)).astype(np.float32) * 0.2)
+        a = lambda *shape: jnp.asarray(rng.standard_normal(shape).astype(np.float32) * 0.05)
+        args = (x, jnp.ones(c), jnp.zeros(c), a(c, 3 * c), a(3 * c), a(c, c), a(c),
+                jnp.ones(c), jnp.zeros(c), a(c, hid), a(hid), a(hid, c), a(c))
+        fused = fused_swin_block(*args, heads, 1e-5, True)
+        ref = swin_block_ref(*args, heads, 1e-5)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-5)
+
+    def test_swinir_with_block_kernel_matches(self, rng, monkeypatch):
+        """Whole SwinIR forward identical with the v3 block-kernel path."""
+        from dcpt_tpu.archs import swinir_arch
+        from dcpt_tpu.archs.swinir_arch import SwinIR
+        from dcpt_tpu.ops import enable_pallas
+        import dcpt_tpu.ops.window_attention as wa
+
+        net = SwinIR(img_size=16, embed_dim=128, depths=(2, 2), num_heads=(4, 4),
+                     window_size=8, mlp_ratio=2.0, upscale=1, upsampler="")
+        x = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+        params = net.init(jax.random.PRNGKey(0), x)
+        base, _ = net.apply(params, x)
+
+        orig = wa._swin_block_pallas
+        monkeypatch.setattr(
+            wa, "_swin_block_pallas",
+            lambda *a: orig(*a[:-1], True),  # force interpret on CPU
+        )
+        monkeypatch.setattr(swinir_arch, "_SWIN_BLOCK_KERNEL", True)
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        import dcpt_tpu.ops as ops_mod
+        enable_pallas("auto")
+        try:
+            fused, _ = net.apply(params, x)
+        finally:
+            enable_pallas(False)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(base), atol=2e-5)
+
     def test_swinir_with_fused_attention_matches(self, rng):
         from dcpt_tpu.archs.swinir_arch import SwinIR
         from dcpt_tpu.ops import enable_pallas
