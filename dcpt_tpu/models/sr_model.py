@@ -476,10 +476,23 @@ class SRModel(BaseModel):
     # ------------------------------------------------------------------
 
     def dist_validation(self, dataloader, current_iter, tb_logger, save_img, clamp=True):
-        if self.opt.get("rank", 0) == 0:
+        """Multi-host validation.
+
+        Default = reference semantics (rank 0 evaluates everything,
+        sr_model.py:363-369).  ``val.dist_eval: true`` (TPU extension, the
+        SURVEY §2.9 design target) stripes the images across processes —
+        every host evaluates its ``idx % world == rank`` slice and the metric
+        sums are allgathered — an O(world) validation speedup.
+        """
+        if (self.opt.get("val") or {}).get("dist_eval"):
+            self.nondist_validation(
+                dataloader, current_iter, tb_logger, save_img, clamp,
+                _stride=(self.opt.get("rank", 0), self.opt.get("world_size", 1)),
+            )
+        elif self.opt.get("rank", 0) == 0:
             self.nondist_validation(dataloader, current_iter, tb_logger, save_img, clamp)
 
-    def nondist_validation(self, dataloader, current_iter, tb_logger, save_img, clamp=True):
+    def nondist_validation(self, dataloader, current_iter, tb_logger, save_img, clamp=True, _stride=None):
         dataset_name = dataloader.dataset.opt["name"]
         with_metrics = self.opt["val"].get("metrics") is not None
         if with_metrics:
@@ -488,8 +501,11 @@ class SRModel(BaseModel):
             self._initialize_best_metric_results(dataset_name)
             self.metric_results = {metric: 0 for metric in self.metric_results}
 
-        idx = -1
+        n_seen = 0
         for idx, val_data in enumerate(dataloader):
+            if _stride is not None and idx % _stride[1] != _stride[0]:
+                continue
+            n_seen += 1
             self.feed_data(val_data)
             self.pre_test()
             if "tile" in self.opt:
@@ -531,12 +547,24 @@ class SRModel(BaseModel):
             if save_img:
                 self._save_validation_images(val_data, result, dataset_name, current_iter)
 
-        if with_metrics and idx >= 0:
+        if _stride is not None and with_metrics:
+            # allgather (sum, count) so every host holds the GLOBAL averages
+            from jax.experimental import multihost_utils
+
+            keys = sorted(self.metric_results)
+            local = np.asarray([self.metric_results[k] for k in keys] + [float(n_seen)], np.float64)
+            gathered = np.asarray(multihost_utils.process_allgather(local.astype(np.float32)))
+            totals = gathered.reshape(-1, len(keys) + 1).sum(axis=0)
+            n_seen = int(totals[-1])
+            for i, k in enumerate(keys):
+                self.metric_results[k] = float(totals[i])
+
+        if with_metrics and n_seen > 0:
             for metric in self.metric_results.keys():
-                self.metric_results[metric] /= idx + 1
+                self.metric_results[metric] /= n_seen
                 if clamp:
                     self._update_best_metric_result(dataset_name, metric, self.metric_results[metric], current_iter)
-            if clamp:
+            if clamp and (_stride is None or _stride[0] == 0):
                 self._log_validation_metric_values(current_iter, dataset_name, tb_logger)
 
     def _save_validation_images(self, val_data, result, dataset_name, current_iter):

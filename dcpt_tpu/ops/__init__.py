@@ -50,6 +50,12 @@ def pallas_winner_enabled() -> bool:
     try:
         import jax
 
+        # param-init idiom `with jax.default_device(cpu): net.init(...)`
+        # traces for the CPU backend even on a TPU host — un-interpreted
+        # Pallas can't lower there, so auto mode stands down in that context
+        dev = getattr(jax.config, "jax_default_device", None)
+        if dev is not None and getattr(dev, "platform", "") != "tpu":
+            return False
         return jax.default_backend() == "tpu"
     except Exception:  # noqa: BLE001
         return False

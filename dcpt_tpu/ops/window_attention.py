@@ -30,6 +30,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -244,7 +245,9 @@ def _block_kernel(
         + bproj_ref[0].astype(f32)
     yn = ln(y, l2w_ref, l2b_ref)
     hmid = jnp.dot(yn, wfc1_ref[:].astype(f32), preferred_element_type=f32) + bfc1_ref[0].astype(f32)
-    hmid = jax.nn.gelu(hmid, approximate=False)
+    # exact-erf GELU spelled with lax.erf — jax.nn.gelu lowers via erfc,
+    # which Pallas TPU does not implement
+    hmid = 0.5 * hmid * (1.0 + jax.lax.erf(hmid * np.float32(1.0 / np.sqrt(2.0))))
     z = y + jnp.dot(hmid, wfc2_ref[:].astype(f32), preferred_element_type=f32) + bfc2_ref[0].astype(f32)
     out_ref[:] = z.reshape(t, n, c).astype(out_ref.dtype)
 

@@ -53,6 +53,7 @@ def main() -> None:
         "type": "SwinIR", "embed_dim": 180, "depths": [6] * 6, "num_heads": [6] * 6,
         "mlp_ratio": 2.0, "window_size": 8, "upscale": 1,
     })
+    enable_pallas("off")  # init must not trace kernels for the CPU device
     with jax.default_device(cpu):
         params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)))["params"]
 

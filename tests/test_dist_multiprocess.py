@@ -74,6 +74,44 @@ garr = multihost_utils.host_local_array_to_global_array(
 total = jax.jit(lambda x: jnp.sum(x), out_shardings=NamedSharding(mesh, P()))(garr)
 assert float(total) == 6.0, float(total)
 
+# striped distributed validation (val.dist_eval): each host evaluates its
+# idx % world == rank slice; metric sums allgathered -> identical GLOBAL
+# average on every host (SURVEY §2.9 TPU design target)
+from dcpt_tpu.models import build_model
+
+opt_v = {
+    "name": "distval", "model_type": "SRModel", "scale": 1, "num_gpu": 1, "manual_seed": 0,
+    "is_train": False, "dist": True, "rank": rank, "world_size": world,
+    "network_g": {"type": "NAFNetBaseline", "width": 4, "enc_blk_nums": (1,),
+                  "middle_blk_num": 1, "dec_blk_nums": (1,), "window_size": 4},
+    "init_size": 8,
+    "path": {},
+    "val": {
+        "dist_eval": True,
+        "metrics": {"psnr": {"type": "calculate_psnr", "crop_border": 0, "image_range": 255.0}},
+    },
+}
+model = build_model(opt_v)
+
+class _ValDS:
+    opt = {"name": "synthval"}
+
+class _Loader:
+    dataset = _ValDS()
+
+    def __iter__(self):
+        r = np.random.default_rng(7)  # same data on both ranks
+        for i in range(4):
+            img = r.random((1, 8, 8, 3)).astype(np.float32)
+            yield {"lq": img, "gt": np.clip(img + 0.01 * (i + 1), 0, 1).astype(np.float32),
+                   "lq_path": [f"im{i}.png"]}
+
+model.validation(_Loader(), current_iter=1, tb_logger=None, save_img=False)
+global_psnr = model.metric_results["psnr"]
+gathered_psnr = np.asarray(multihost_utils.process_allgather(
+    np.asarray([global_psnr], np.float32)))
+assert np.allclose(gathered_psnr, gathered_psnr.ravel()[0], atol=1e-4), gathered_psnr
+
 # rank-0-only I/O
 @master_only
 def _write():
