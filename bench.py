@@ -224,12 +224,17 @@ def main() -> None:
         tag = f"swinir_{size}px_bs{bs}_fp32"
         extra[f"{tag}_xla_mpix_s"] = round(ab["off"], 3)
         extra[f"{tag}_pallas_mpix_s"] = round(ab["auto"], 3)
-    _, mpix, swin_gflops = measure(swin, swin_params, SIZE, 4, jnp.bfloat16, iters=6, want_flops=True)
-    extra["swinir_128px_bs4_bf16_xla_mpix_s"] = round(mpix, 3)
+    # bf16 A/B: "auto" routes through the v3 whole-block kernel (the round-3
+    # winner: bs4@128 1.43 vs 0.82 XLA — scripts/bench_swin_bf16.py matrix)
+    ab = measure_ab(swin, swin_params, SIZE, 4, jnp.bfloat16, modes=("off", "auto"), iters=6)
+    extra["swinir_128px_bs4_bf16_xla_mpix_s"] = round(ab["off"], 3)
+    extra["swinir_128px_bs4_bf16_pallas_mpix_s"] = round(ab["auto"], 3)
+    enable_pallas(False)
+    _, _, swin_gflops = measure(swin, swin_params, SIZE, 4, jnp.float32, iters=1, want_flops=True)
     if swin_gflops:
         extra["swinir_fwd_gflop_128px_bs4"] = round(swin_gflops, 1)
-        best_swin = max(extra["swinir_128px_bs4_fp32_pallas_mpix_s"], extra["swinir_128px_bs4_fp32_xla_mpix_s"])
-        extra["swinir_fp32_achieved_tflops"] = round(best_swin * swin_gflops / (4 * SIZE * SIZE / 1e6) / 1e3, 1)
+        best_swin = max(ab.values())
+        extra["swinir_best_achieved_tflops"] = round(best_swin * swin_gflops / (4 * SIZE * SIZE / 1e6) / 1e3, 1)
 
     # ------------------------------------------------------------------
     # PromptIR (verbatim test_PromptIR_5d network — first driver-bench entry)

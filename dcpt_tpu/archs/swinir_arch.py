@@ -72,13 +72,17 @@ def window_reverse(windows: jax.Array, ws: int, h: int, w: int) -> jax.Array:
 
 import os as _os
 
-# bf16 routing through the fused kernel (it upcasts to fp32 in VMEM, so only
-# HBM traffic is bf16): opt-in until the end-to-end A/B proves it wins —
-# flip via env for measurement runs (scripts/bench_swin_bf16.py)
-_SWIN_BF16_KERNEL = _os.environ.get("DCPT_TPU_SWIN_BF16", "0") == "1"
+# bf16 routing through the fused kernels (they upcast to fp32 in VMEM, so
+# only the HBM traffic is bf16).  Measured WINNER on v5e (bs4@128px,
+# min-of-interleaved): attn kernel 0.855 vs XLA-bf16 0.817 MPix/s, and with
+# the v3 block kernel 1.430 — so bf16 routing defaults ON
+# (scripts/bench_swin_bf16.py; DCPT_TPU_SWIN_BF16=0 opts out).
+_SWIN_BF16_KERNEL = _os.environ.get("DCPT_TPU_SWIN_BF16", "1") == "1"
 # v3 whole-block kernel (attention + both residuals + MLP in one VMEM pass,
-# ops/window_attention.fused_swin_block): opt-in pending its end-to-end A/B
-_SWIN_BLOCK_KERNEL = _os.environ.get("DCPT_TPU_SWIN_BLOCK", "0") == "1"
+# ops/window_attention.fused_swin_block).  Measured WINNER in both
+# precisions (bs4@128px: fp32 1.077 vs 0.666 attn-kernel = 1.62×; bf16 1.430
+# vs 0.817 XLA = 1.75×) — defaults ON (DCPT_TPU_SWIN_BLOCK=0 opts out).
+_SWIN_BLOCK_KERNEL = _os.environ.get("DCPT_TPU_SWIN_BLOCK", "1") == "1"
 
 
 def _swin_fused_gate(pallas_on: bool, qkv_bias: bool, qk_scale, c: int, heads: int, dtype) -> bool:

@@ -245,9 +245,18 @@ def _block_kernel(
         + bproj_ref[0].astype(f32)
     yn = ln(y, l2w_ref, l2b_ref)
     hmid = jnp.dot(yn, wfc1_ref[:].astype(f32), preferred_element_type=f32) + bfc1_ref[0].astype(f32)
-    # exact-erf GELU spelled with lax.erf — jax.nn.gelu lowers via erfc,
-    # which Pallas TPU does not implement
-    hmid = 0.5 * hmid * (1.0 + jax.lax.erf(hmid * np.float32(1.0 / np.sqrt(2.0))))
+    # exact-erf GELU: Pallas TPU implements neither erf nor erfc, so use the
+    # Abramowitz–Stegun 7.1.26 rational erf (|err| ≤ 1.5e-7 — below the fp32
+    # noise floor, so numerically identical to the torch exact GELU here)
+    z = hmid * np.float32(1.0 / np.sqrt(2.0))
+    az = jnp.abs(z)
+    tt = 1.0 / (1.0 + np.float32(0.3275911) * az)
+    poly = ((((np.float32(1.061405429) * tt + np.float32(-1.453152027)) * tt
+              + np.float32(1.421413741)) * tt + np.float32(-0.284496736)) * tt
+            + np.float32(0.254829592)) * tt
+    erf_abs = 1.0 - poly * jnp.exp(-az * az)
+    erf = jnp.where(z >= 0, erf_abs, -erf_abs)
+    hmid = 0.5 * hmid * (1.0 + erf)
     z = y + jnp.dot(hmid, wfc2_ref[:].astype(f32), preferred_element_type=f32) + bfc2_ref[0].astype(f32)
     out_ref[:] = z.reshape(t, n, c).astype(out_ref.dtype)
 

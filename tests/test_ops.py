@@ -364,14 +364,19 @@ class TestWindowAttention:
         params = net.init(jax.random.PRNGKey(0), x)
         base, _ = net.apply(params, x)
 
+        from dcpt_tpu.archs import swinir_arch as _sa
+
         orig = wa._wa_pallas
         wa._wa_pallas = lambda *a, **kw: orig(*a[:-1], True, **kw)
+        block_was = _sa._SWIN_BLOCK_KERNEL
+        _sa._SWIN_BLOCK_KERNEL = False  # pin the v2 attention path under test
         enable_pallas(True)
         try:
             fused, _ = net.apply(params, x)
         finally:
             enable_pallas(False)
             wa._wa_pallas = orig
+            _sa._SWIN_BLOCK_KERNEL = block_was
         np.testing.assert_allclose(np.asarray(fused), np.asarray(base), atol=2e-5)
 
     def test_swinir_fused_attention_unaligned_dims(self, rng):
@@ -386,13 +391,18 @@ class TestWindowAttention:
         params = net.init(jax.random.PRNGKey(0), x)
         base, _ = net.apply(params, x)
 
+        from dcpt_tpu.archs import swinir_arch as _sa
+
         orig = wa._wa_pallas
         wa._wa_pallas = lambda *a, **kw: orig(*a[:-1], True, **kw)
+        block_was = _sa._SWIN_BLOCK_KERNEL
+        _sa._SWIN_BLOCK_KERNEL = False
         enable_pallas(True)
         try:
             fused, _ = net.apply(params, x)
         finally:
             enable_pallas(False)
+            _sa._SWIN_BLOCK_KERNEL = block_was
             wa._wa_pallas = orig
         np.testing.assert_allclose(np.asarray(fused), np.asarray(base), atol=2e-5)
 

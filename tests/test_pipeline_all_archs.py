@@ -137,12 +137,18 @@ val:
 
     calls = []
     orig = wa._wa_pallas
+    orig_block = wa._swin_block_pallas
 
     def recording(x, wqkv, bqkv, wproj, bproj, num_heads, interpret, ln=None):
         calls.append(x.shape)
         return orig(x, wqkv, bqkv, wproj, bproj, num_heads, True, ln=ln)
 
+    def recording_block(*a):
+        calls.append(a[0].shape)
+        return orig_block(*a[:-1], True)
+
     monkeypatch.setattr(wa, "_wa_pallas", recording)
+    monkeypatch.setattr(wa, "_swin_block_pallas", recording_block)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")  # simulate TPU host
     ops.enable_pallas("auto")  # the shipped default (env unset)
     try:
