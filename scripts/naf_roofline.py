@@ -96,13 +96,14 @@ def main() -> None:
     deep_gb = (full["gbytes"] - slim["gbytes"]) / 27
     print(f"\nper c=512 NAFBlock (16x16): {deep_ms:6.3f} ms  {deep_gf:6.2f} GF  {deep_gb:6.3f} GB"
           f"  -> {deep_gf / deep_ms:5.1f} TF ({100 * deep_gf / deep_ms / peak_tf:4.1f}%)"
-          f"  {deep_gb / deep_ms * 1000 / 1e3:6.0f} GB/s ({100 * deep_gb / deep_ms / V5E_HBM_GBS:4.1f}%)",
+          f"  {deep_gb / deep_ms * 1e3:6.0f} GB/s ({100 * deep_gb / deep_ms * 1e3 / V5E_HBM_GBS:4.1f}%)",
           flush=True)
     mid_ms = full["ms"] - nomid["ms"]
     print(f"middle (c=1024 @8x8, 1 blk): {mid_ms:6.3f} ms", flush=True)
 
-    # dwconv vs 1x1 pricing at the deep-stage shape (B,16,16,1024 grouped 3x3
-    # vs 512->1024 1x1): VPU-bound grouped conv against MXU matmul
+    # NOTE: per-op microbenches at this shape are DISPATCH-floored through the
+    # tunnel (~1 ms/call >> the op itself) — kept only as an upper bound;
+    # trust the model-level deltas above (CLAUDE.md).
     h = size // 8
     xdw = jax.device_put(jnp.asarray(rng.random((bs, h, h, 1024), dtype=np.float32), dtype=dt), accel)
     wdw = jax.device_put(jnp.asarray(rng.random((3, 3, 1, 1024), dtype=np.float32), dtype=dt), accel)
