@@ -29,6 +29,16 @@ import flax.linen as nn
 from ..utils.registry import ARCH_REGISTRY
 from .arch_util import LayerNorm2d, conv2d, local_avg_pool, pixel_shuffle, tlsc_kernel_size
 
+import os as _os
+
+# whole-NAFBlock two-phase kernel (ops/naf_block.py — the roofline's
+# shallow-stage bandwidth lever): opt-in pending its end-to-end A/B.
+# _MAXC restricts it to stages with c <= MAXC (the deep c=512 stage already
+# runs at 78% MXU under XLA — the kernel targets the bandwidth-bound
+# shallow stages).
+_NAF_BLOCK_KERNEL = _os.environ.get("DCPT_TPU_NAF_BLOCK", "0") == "1"
+_NAF_BLOCK_MAXC = int(_os.environ.get("DCPT_TPU_NAF_BLOCK_MAXC", "4096"))
+
 
 def simple_gate(x: jax.Array) -> jax.Array:
     """Channel-halving gate: x1 * x2 (reference: nafnet_arch.py:77-80)."""
@@ -61,10 +71,36 @@ class NAFBlock(nn.Module):
         dw = c * self.dw_expand
         ffn = c * self.ffn_expand
 
-        from ..ops import pallas_enabled
+        from ..ops import pallas_enabled, pallas_winner_enabled
         from ..ops.naf_prefix import naf_prefix, prefix_fits
 
         _, bh, bw, _ = inp.shape
+
+        if (_NAF_BLOCK_KERNEL and c <= _NAF_BLOCK_MAXC and pallas_winner_enabled()
+                and self.drop_out_rate == 0 and self.cp is None and not self.local_stats):
+            # whole block in two VMEM passes + a micro SCA matmul: the map is
+            # read twice and written twice instead of XLA's ~12 traversals
+            from ..ops.naf_block import naf_block_fused, pick_row_tile
+            from .arch_util import _ConvParamHolder, _NormParamHolder
+
+            th = pick_row_tile(bh, bw, c)
+            if th is not None:
+                n1w, n1b = _NormParamHolder(c, name="norm1")()
+                w1, b1 = _ConvParamHolder(c, dw, name="conv1")()
+                w2, b2 = _ConvParamHolder(1, dw, kernel_size=3, name="conv2")()
+                wsca, bsca = _ConvParamHolder(dw // 2, dw // 2, name="sca_1")()
+                w3, b3 = _ConvParamHolder(dw // 2, c, name="conv3")()
+                beta = self.param("beta", nn.initializers.zeros, (1, 1, 1, c))
+                n2w, n2b = _NormParamHolder(c, name="norm2")()
+                w4, b4 = _ConvParamHolder(c, ffn, name="conv4")()
+                w5, b5 = _ConvParamHolder(ffn // 2, c, name="conv5")()
+                gamma = self.param("gamma", nn.initializers.zeros, (1, 1, 1, c))
+                return naf_block_fused(
+                    inp, n1w, n1b, w1.reshape(c, dw), b1, w2.reshape(3, 3, dw), b2,
+                    wsca.reshape(dw // 2, dw // 2), bsca, w3.reshape(dw // 2, c), b3,
+                    beta.reshape(c), n2w, n2b, w4.reshape(c, ffn), b4,
+                    w5.reshape(ffn // 2, c), b5, gamma.reshape(c), 1e-6, th,
+                )
         # Fused LN+expand+dwconv+gate, one VMEM pass — the dwconv must stay
         # INSIDE the kernel: on v5e any dot/custom-call producer in front of
         # a grouped depthwise conv falls off a ~10× compiler cliff (67.5 vs

@@ -1,0 +1,214 @@
+"""Whole-NAFBlock fusion — two Pallas kernels + one tiny host matmul.
+
+The NAFNet bf16 roofline (PARITY.md) showed the flagship forward pinned at
+~89% of HBM peak with the FLOP-dense c=512 stage already at 78% MXU: the
+remaining wall-clock lives in the HIGH-RESOLUTION shallow stages, where XLA's
+per-op execution traverses each (B, H, W, C)-scale map ~12×/block.  This
+module fuses the entire NAFBlock (reference nafnet_arch.py:83-186) into:
+
+  P1  per (batch, row-tile): LN1 → 1×1 expand → depthwise 3×3 → SimpleGate,
+      emitting the gated map g ONCE plus per-tile channel sums for SCA;
+  --  host: pooled mean → SCA 1×1 (a (B, C)·(C, C) matmul — micro);
+  P2  per (batch, row-tile): g·att → 1×1 → β-residual → LN2 → 1×1 expand →
+      SimpleGate → 1×1 → γ-residual, emitting the block output ONCE.
+
+SCA's GLOBAL spatial mean is what forces the two-phase split — everything
+else is row-local (the dwconv needs one halo row, supplied by pre-tiling the
+input with overlapping rows; out-of-image halo rows are masked to zero
+inside P1 so the dwconv border matches lax zero padding bit-exactly).
+
+HBM traffic per block falls from ~12 map traversals to ~4 (read x twice,
+write g, write z) — and with bf16 I/O (fp32 VMEM math, the round-3 kernel
+recipe) the bytes halve again.  Backward recomputes via the jnp reference.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .naf_prefix import naf_prefix_ref
+
+
+def naf_block_ref(x, n1w, n1b, w1, b1, wdw, bdw, wsca, bsca, w3, b3, beta,
+                  n2w, n2b, w4, b4, w5, b5, gamma, eps: float = 1e-6):
+    """jnp twin of the full NAFBlock on (B, H, W, C); beta/gamma are (C,)."""
+    g = naf_prefix_ref(x, n1w, n1b, w1, b1, wdw, bdw, eps)
+    pooled = jnp.mean(g, axis=(1, 2), keepdims=True)
+    att = jnp.einsum("bijc,cd->bijd", pooled, wsca) + bsca
+    u = jnp.einsum("bhwc,cd->bhwd", g * att, w3) + b3
+    y = x + u * beta
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean((y - mu) ** 2, axis=-1, keepdims=True)
+    ln2 = (y - mu) * jax.lax.rsqrt(var + eps) * n2w + n2b
+    h = jnp.einsum("bhwc,cd->bhwd", ln2, w4) + b4
+    h1, h2 = jnp.split(h, 2, axis=-1)
+    out = jnp.einsum("bhwc,cd->bhwd", h1 * h2, w5) + b5
+    return y + out * gamma
+
+
+def _shift_rows(t, dy):
+    h = t.shape[0]
+    zero = jnp.zeros_like(t[:1])
+    if dy == 1:
+        return jnp.concatenate([zero, t[: h - 1]], axis=0)
+    if dy == -1:
+        return jnp.concatenate([t[1:], zero], axis=0)
+    return t
+
+
+def _shift_cols(t, dx):
+    w = t.shape[1]
+    zero = jnp.zeros_like(t[:, :1])
+    if dx == 1:
+        return jnp.concatenate([zero, t[:, : w - 1]], axis=1)
+    if dx == -1:
+        return jnp.concatenate([t[:, 1:], zero], axis=1)
+    return t
+
+
+def _p1_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, wdw_ref, bdw_ref,
+               g_ref, s_ref, *, eps: float, th: int):
+    f32 = jnp.float32
+    _, _, hp, w, c = x_ref.shape  # (1, 1, th+2, W, C)
+    dw = w1_ref.shape[1]
+    it = pl.program_id(1)
+    n_t = pl.num_programs(1)
+
+    x = x_ref[0, 0].astype(f32).reshape(hp * w, c)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    ln = (x - mu) * jax.lax.rsqrt(var + eps) * lnw_ref[0].astype(f32) + lnb_ref[0].astype(f32)
+    t = (jnp.dot(ln, w1_ref[:].astype(f32), preferred_element_type=f32)
+         + b1_ref[0].astype(f32)).reshape(hp, w, dw)
+
+    # out-of-image halo rows must be ZERO before the dwconv (lax zero padding):
+    # tile 0's top halo row and tile n-1's bottom halo row lie outside the map
+    row = jax.lax.broadcasted_iota(jnp.int32, (hp, 1, 1), 0)
+    valid = ~(((row == 0) & (it == 0)) | ((row == hp - 1) & (it == n_t - 1)))
+    t = jnp.where(valid, t, 0.0)
+
+    acc = jnp.broadcast_to(bdw_ref[0].astype(f32)[None, None, :], (hp, w, dw))
+    for dy in (-1, 0, 1):
+        ty = _shift_rows(t, dy)
+        for dx in (-1, 0, 1):
+            tap = wdw_ref[1 - dy, 1 - dx].astype(f32)
+            acc = acc + _shift_cols(ty, dx) * tap[None, None, :]
+    inner = acc[1 : th + 1]  # (th, W, DW)
+    g = inner[:, :, : dw // 2] * inner[:, :, dw // 2 :]
+    g_ref[0, 0] = g.astype(g_ref.dtype)
+    s_ref[0, 0] = jnp.sum(g, axis=(0, 1))
+
+
+def _p2_kernel(g_ref, x_ref, att_ref, w3_ref, b3_ref, beta_ref,
+               n2w_ref, n2b_ref, w4_ref, b4_ref, w5_ref, b5_ref, gamma_ref,
+               z_ref, *, eps: float):
+    f32 = jnp.float32
+    _, _, th, w, d2 = g_ref.shape
+    c = x_ref.shape[-1]
+    ffn = w4_ref.shape[1]
+
+    g = g_ref[0, 0].astype(f32).reshape(th * w, d2)
+    a = g * att_ref[0].astype(f32)
+    u = jnp.dot(a, w3_ref[:].astype(f32), preferred_element_type=f32) + b3_ref[0].astype(f32)
+    x = x_ref[0].astype(f32).reshape(th * w, c)
+    y = x + u * beta_ref[0].astype(f32)
+
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    var = jnp.mean((y - mu) ** 2, axis=-1, keepdims=True)
+    ln2 = (y - mu) * jax.lax.rsqrt(var + eps) * n2w_ref[0].astype(f32) + n2b_ref[0].astype(f32)
+    h = jnp.dot(ln2, w4_ref[:].astype(f32), preferred_element_type=f32) + b4_ref[0].astype(f32)
+    hg = h[:, : ffn // 2] * h[:, ffn // 2 :]
+    out = jnp.dot(hg, w5_ref[:].astype(f32), preferred_element_type=f32) + b5_ref[0].astype(f32)
+    z_ref[0, 0] = (y + out * gamma_ref[0].astype(f32)).reshape(th, w, c).astype(z_ref.dtype)
+
+
+def pick_row_tile(h: int, w: int, c: int) -> int | None:
+    """Largest row tile whose P1 live set (~6 (th+2, W, 2C) fp32 maps) fits
+    ~12 MB of scoped VMEM; None if no divisor of H fits."""
+    per_row = 4 * w * (2 * c) * 6
+    budget = 12 * 1024 * 1024
+    for th in (64, 32, 16, 8, 4):
+        if h % th == 0 and (th + 2) * per_row <= budget:
+            return th
+    return None
+
+
+def _block_pallas(x, n1w, n1b, w1, b1, wdw, bdw, wsca, bsca, w3, b3, beta,
+                  n2w, n2b, w4, b4, w5, b5, gamma, eps, th, interpret):
+    b, h, w, c = x.shape
+    dw = w1.shape[1]
+    d2 = dw // 2
+    ffn = w4.shape[1]
+    n_t = h // th
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    tiles = jnp.stack([xp[:, i * th : i * th + th + 2] for i in range(n_t)], 1)
+
+    cst = lambda shape: pl.BlockSpec(shape, lambda bb, tt: (0,) * len(shape), memory_space=pltpu.VMEM)  # noqa: E731
+    g, s = pl.pallas_call(
+        functools.partial(_p1_kernel, eps=eps, th=th),
+        grid=(b, n_t),
+        in_specs=[
+            pl.BlockSpec((1, 1, th + 2, w, c), lambda bb, tt: (bb, tt, 0, 0, 0), memory_space=pltpu.VMEM),
+            cst((1, c)), cst((1, c)), cst((c, dw)), cst((1, dw)), cst((3, 3, dw)), cst((1, dw)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, th, w, d2), lambda bb, tt: (bb, tt, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d2), lambda bb, tt: (bb, tt, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_t, th, w, d2), x.dtype),
+            jax.ShapeDtypeStruct((b, n_t, d2), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tiles, n1w[None], n1b[None], w1, b1[None], wdw, bdw[None])
+
+    pooled = jnp.sum(s, axis=1) / jnp.float32(h * w)  # (B, D2) fp32
+    att = pooled @ wsca.astype(jnp.float32) + bsca.astype(jnp.float32)  # (B, D2)
+
+    z = pl.pallas_call(
+        functools.partial(_p2_kernel, eps=eps),
+        grid=(b, n_t),
+        in_specs=[
+            pl.BlockSpec((1, 1, th, w, d2), lambda bb, tt: (bb, tt, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, w, c), lambda bb, tt: (bb, tt, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d2), lambda bb, tt: (bb, 0), memory_space=pltpu.VMEM),
+            cst((d2, c)), cst((1, c)), cst((1, c)),
+            cst((1, c)), cst((1, c)), cst((c, ffn)), cst((1, ffn)),
+            cst((ffn // 2, c)), cst((1, c)), cst((1, c)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, th, w, c), lambda bb, tt: (bb, tt, 0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_t, th, w, c), x.dtype),
+        interpret=interpret,
+    )(g, x, att, w3, b3[None], beta[None], n2w[None], n2b[None], w4, b4[None], w5, b5[None], gamma[None])
+    return z.reshape(b, h, w, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(19, 20, 21))
+def naf_block_fused(x, n1w, n1b, w1, b1, wdw, bdw, wsca, bsca, w3, b3, beta,
+                    n2w, n2b, w4, b4, w5, b5, gamma,
+                    eps: float = 1e-6, th: int = 16, interpret: bool = False):
+    """The whole NAFBlock over (B, H, W, C); requires H % th == 0."""
+    return _block_pallas(x, n1w, n1b, w1, b1, wdw, bdw, wsca, bsca, w3, b3, beta,
+                         n2w, n2b, w4, b4, w5, b5, gamma, eps, th, interpret)
+
+
+def _fwd(x, n1w, n1b, w1, b1, wdw, bdw, wsca, bsca, w3, b3, beta,
+         n2w, n2b, w4, b4, w5, b5, gamma, eps, th, interpret):
+    out = naf_block_fused(x, n1w, n1b, w1, b1, wdw, bdw, wsca, bsca, w3, b3, beta,
+                          n2w, n2b, w4, b4, w5, b5, gamma, eps, th, interpret)
+    return out, (x, n1w, n1b, w1, b1, wdw, bdw, wsca, bsca, w3, b3, beta,
+                 n2w, n2b, w4, b4, w5, b5, gamma)
+
+
+def _bwd(eps, th, interpret, res, gr):
+    _, vjp = jax.vjp(lambda *a: naf_block_ref(*a, eps), *res)
+    return vjp(gr)
+
+
+naf_block_fused.defvjp(_fwd, _bwd)
