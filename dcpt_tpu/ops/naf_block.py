@@ -101,7 +101,8 @@ def _p1_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, wdw_ref, bdw_ref,
     inner = acc[1 : th + 1]  # (th, W, DW)
     g = inner[:, :, : dw // 2] * inner[:, :, dw // 2 :]
     g_ref[0, 0] = g.astype(g_ref.dtype)
-    s_ref[0, 0] = jnp.sum(g, axis=(0, 1))
+    # (8, d2) block: TPU tiling needs the 2nd-to-last block dim 8-divisible
+    s_ref[0, 0] = jnp.broadcast_to(jnp.sum(g, axis=(0, 1))[None], (8, g.shape[-1]))
 
 
 def _p2_kernel(g_ref, x_ref, att_ref, w3_ref, b3_ref, beta_ref,
@@ -113,7 +114,7 @@ def _p2_kernel(g_ref, x_ref, att_ref, w3_ref, b3_ref, beta_ref,
     ffn = w4_ref.shape[1]
 
     g = g_ref[0, 0].astype(f32).reshape(th * w, d2)
-    a = g * att_ref[0].astype(f32)
+    a = g * att_ref[0, 0].astype(f32)
     u = jnp.dot(a, w3_ref[:].astype(f32), preferred_element_type=f32) + b3_ref[0].astype(f32)
     x = x_ref[0].astype(f32).reshape(th * w, c)
     y = x + u * beta_ref[0].astype(f32)
@@ -159,17 +160,19 @@ def _block_pallas(x, n1w, n1b, w1, b1, wdw, bdw, wsca, bsca, w3, b3, beta,
         ],
         out_specs=[
             pl.BlockSpec((1, 1, th, w, d2), lambda bb, tt: (bb, tt, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, d2), lambda bb, tt: (bb, tt, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, d2), lambda bb, tt: (bb, tt, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, n_t, th, w, d2), x.dtype),
-            jax.ShapeDtypeStruct((b, n_t, d2), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_t, 8, d2), jnp.float32),
         ],
         interpret=interpret,
     )(tiles, n1w[None], n1b[None], w1, b1[None], wdw, bdw[None])
 
-    pooled = jnp.sum(s, axis=1) / jnp.float32(h * w)  # (B, D2) fp32
+    pooled = jnp.sum(s[:, :, 0], axis=1) / jnp.float32(h * w)  # (B, D2) fp32
     att = pooled @ wsca.astype(jnp.float32) + bsca.astype(jnp.float32)  # (B, D2)
+    # 8-row broadcast: TPU tiling needs the 2nd-to-last block dim 8-divisible
+    att = jnp.broadcast_to(att[:, None, :], (b, 8, d2))
 
     z = pl.pallas_call(
         functools.partial(_p2_kernel, eps=eps),
@@ -177,7 +180,7 @@ def _block_pallas(x, n1w, n1b, w1, b1, wdw, bdw, wsca, bsca, w3, b3, beta,
         in_specs=[
             pl.BlockSpec((1, 1, th, w, d2), lambda bb, tt: (bb, tt, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, th, w, c), lambda bb, tt: (bb, tt, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d2), lambda bb, tt: (bb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, d2), lambda bb, tt: (bb, 0, 0), memory_space=pltpu.VMEM),
             cst((d2, c)), cst((1, c)), cst((1, c)),
             cst((1, c)), cst((1, c)), cst((c, ffn)), cst((1, ffn)),
             cst((ffn // 2, c)), cst((1, c)), cst((1, c)),

@@ -11,13 +11,16 @@ the eval harness's padding convention.
 
 Accuracy has the same contract as ``test_tile``: exact when ``halo`` covers the
 conv receptive field; global-pool layers (NAFNet's SCA) see per-shard
-statistics unless the arch cooperates.  Two archs do:
+statistics unless the arch cooperates.  All four flagship archs do (their
+``cp_axis``/``cp_halo`` options, param-free):
 
-* ``NAFBlock``'s TLSC local-stats mode makes statistics local by construction
-  (exactly why TLSC exists in the reference);
-* ``Restormer(cp_axis=..., cp_halo=...)`` routes every MDTA through
-  ``spatial_mdta``-style interior-masked psums, keeping its attention
-  statistics GLOBAL — seam-exact, beyond what ``test_tile`` can do.
+* ``NAFNetBaseline``: SCA's global mean becomes an interior-masked psum;
+* ``Restormer``/``PromptIR``: every MDTA routes through interior-masked
+  psums (plus PromptIR's psum'd prompt GAP + global-height prompt resize) —
+  attention statistics stay GLOBAL, seam-exact beyond what ``test_tile`` does;
+* ``SwinIR``: the shifted windows' cyclic rolls wrap across shard ends via a
+  ppermute exchange, and out-of-image halo rows re-zero before each conv —
+  H-sharded output is exact INCLUDING the global border rows.
 
 SURVEY §5.7 lists this as the genuine beyond-reference extension.
 """
