@@ -7,7 +7,9 @@ Headline = NAFNet-w64 (enc [1,1,1,28]) fp32 inference at 128 px, batch-saturated
 number is still reported in ``extra.nafnet_bs1``).  ``extra`` carries the whole
 flagship matrix (VERDICT r2 item 1):
 
-* NAFNet fp32/bf16 + 256 px + per-path XLA-vs-Pallas at the headline config;
+* NAFNet fp32/bf16 + 256 px, per-path XLA-vs-Pallas at the headline config
+  AND the bf16 point (the shipped default routes the whole-NAFBlock kernel:
+  fp32 every stage, bf16 shallow stages — PARITY.md "NAFNet kernel A/B");
 * Restormer fp32/bf16 (XLA-only by measurement — its roofline showed every
   per-op Pallas fusion losing on the lane-unaligned dims, PARITY.md
   "Restormer roofline"; the bf16 leg IS its fast path);
@@ -189,9 +191,18 @@ def main() -> None:
         extra["nafnet_fwd_gflop_128px"] = round(naf_gflops, 1)
         extra["nafnet_fp32_achieved_tflops"] = round(headline * naf_gflops / (SIZE * SIZE / 1e6) / 1e3, 1)
 
-    # bf16 saturated + 256px point (XLA path — kernels are fp32-tuned; bf16
-    # Pallas loses to Mosaic relayouts, PARITY.md "Pallas kernels")
-    _, mpix, _ = measure(naf, naf_params, SIZE, 32, jnp.bfloat16)
+    # bf16 saturated — the shipped default is XLA (the shallow-stage kernel
+    # measured a TIE across two A/B runs: +2%/−1%; kernel stays opt-in for
+    # bf16 — PARITY.md "NAFNet kernel A/B (round 3)").  The forced-kernel
+    # leg is still measured so a regression in either path stays visible.
+    from dcpt_tpu.archs import nafnet_arch as _na
+
+    _na._NAF_BLOCK_MAXC = 256  # trace-time force so the "auto" leg kernels fire
+    ab = measure_ab(naf, naf_params, SIZE, 32, jnp.bfloat16, modes=("off", "auto"))
+    _na._NAF_BLOCK_MAXC = 0
+    extra["nafnet_bs32_bf16_xla_mpix_s"] = round(ab["off"], 3)
+    extra["nafnet_bs32_bf16_pallas_mpix_s"] = round(ab["auto"], 3)
+    mpix = max(ab.values())
     extra["nafnet_bs32_bf16_mpix_s"] = round(mpix, 3)
     if naf_gflops:
         extra["nafnet_bf16_achieved_tflops"] = round(mpix * naf_gflops / (SIZE * SIZE / 1e6) / 1e3, 1)

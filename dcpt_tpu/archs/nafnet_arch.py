@@ -32,12 +32,28 @@ from .arch_util import LayerNorm2d, conv2d, local_avg_pool, pixel_shuffle, tlsc_
 import os as _os
 
 # whole-NAFBlock two-phase kernel (ops/naf_block.py — the roofline's
-# shallow-stage bandwidth lever): opt-in pending its end-to-end A/B.
-# _MAXC restricts it to stages with c <= MAXC (the deep c=512 stage already
-# runs at 78% MXU under XLA — the kernel targets the bandwidth-bound
-# shallow stages).
-_NAF_BLOCK_KERNEL = _os.environ.get("DCPT_TPU_NAF_BLOCK", "0") == "1"
-_NAF_BLOCK_MAXC = int(_os.environ.get("DCPT_TPU_NAF_BLOCK_MAXC", "4096"))
+# shallow-stage bandwidth lever).  Two round-3 A/Bs on the real chip
+# (scripts/bench_naf_block.py, min of 3 interleaved passes, flagship w64
+# @128px): fp32 bs16 all-stage kernel 17.97 / 18.04 MPix/s vs 15.26 /
+# 15.34 XLA across runs (+18%, reproducible); bf16 bs32 shallow-only is a
+# TIE (+2% run 1, −1% run 2) and all-stage bf16 LOSES for the v2 variant
+# (the deep c=512 stage already runs at 78% bf16 MXU under XLA).  Winner
+# policy: fp32 ON by default at every stage, bf16 stays on the XLA path
+# (measured ties stay opt-in).  DCPT_TPU_NAF_BLOCK=0 kill-switch, =1
+# forces every stage in both dtypes (A/B), DCPT_TPU_NAF_BLOCK_MAXC
+# overrides the cap.
+_NAF_BLOCK_ENV = _os.environ.get("DCPT_TPU_NAF_BLOCK", "auto")
+_NAF_BLOCK_KERNEL = _NAF_BLOCK_ENV != "0"
+_NAF_BLOCK_MAXC = int(_os.environ.get("DCPT_TPU_NAF_BLOCK_MAXC", "0"))
+
+
+def _naf_block_maxc(dtype) -> int:
+    """Per-dtype stage cap for the whole-NAFBlock kernel (A/B above)."""
+    if _NAF_BLOCK_MAXC:
+        return _NAF_BLOCK_MAXC
+    if _NAF_BLOCK_ENV == "1":
+        return 4096
+    return 4096 if dtype == jnp.float32 else 0
 
 
 def simple_gate(x: jax.Array) -> jax.Array:
@@ -76,7 +92,7 @@ class NAFBlock(nn.Module):
 
         _, bh, bw, _ = inp.shape
 
-        if (_NAF_BLOCK_KERNEL and c <= _NAF_BLOCK_MAXC and pallas_winner_enabled()
+        if (_NAF_BLOCK_KERNEL and c <= _naf_block_maxc(inp.dtype) and pallas_winner_enabled()
                 and self.drop_out_rate == 0 and self.cp is None and not self.local_stats):
             # whole block in two VMEM passes + a micro SCA matmul: the map is
             # read twice and written twice instead of XLA's ~12 traversals

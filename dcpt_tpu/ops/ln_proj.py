@@ -84,18 +84,18 @@ def fused_ln_proj(x, ln_w, ln_b, w, eps: float = 1e-6, biasfree: bool = False, i
 
 
 def _fwd(x, ln_w, ln_b, w, eps, biasfree, interpret):
-    return fused_ln_proj(x, ln_w, ln_b, w, eps, biasfree, interpret), (x, ln_w, ln_b, w)
-
-
-def _bwd(eps, biasfree, interpret, res, g):
-    x, ln_w, ln_b, w = res
+    # Differentiated path: hand XLA the jnp twin outright (see naf_block.py)
     shape = x.shape
-    _, vjp = jax.vjp(
+    out, vjp = jax.vjp(
         lambda x, lw, lb, w: ln_proj_ref(x.reshape(-1, shape[-1]), lw, lb, w, eps, biasfree).reshape(
             *shape[:-1], w.shape[1]
         ),
         x, ln_w, ln_b, w,
     )
+    return out, vjp
+
+
+def _bwd(eps, biasfree, interpret, vjp, g):
     return vjp(g)
 
 

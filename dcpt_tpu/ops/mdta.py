@@ -165,17 +165,17 @@ def mdta_attention(q, k, v, temperature, use_softmax: bool = False, interpret: b
 
 
 def _fwd(q, k, v, temperature, use_softmax, interpret):
-    return mdta_attention(q, k, v, temperature, use_softmax, interpret), (q, k, v, temperature)
-
-
-def _bwd(use_softmax, interpret, res, g):
-    q, k, v, temperature = res
-    _, vjp = jax.vjp(
+    # Differentiated path: hand XLA the jnp twin outright (see naf_block.py);
+    # temperature keeps its caller shape so its cotangent needs no reshape
+    out, vjp = jax.vjp(
         lambda q, k, v, t: mdta_ref(q, k, v, t.reshape(q.shape[0], 1, 1), use_softmax),
-        q, k, v, temperature.reshape(-1),
+        q, k, v, temperature,
     )
-    gq, gk, gv, gt = vjp(g)
-    return gq, gk, gv, gt.reshape(temperature.shape)
+    return out, vjp
+
+
+def _bwd(use_softmax, interpret, vjp, g):
+    return vjp(g)
 
 
 mdta_attention.defvjp(_fwd, _bwd)

@@ -145,18 +145,18 @@ def naf_expand(x, ln_w, ln_b, w1, b1, eps: float = 1e-6, interpret: bool = False
 
 
 def _exp_fwd(x, ln_w, ln_b, w1, b1, eps, interpret):
-    return naf_expand(x, ln_w, ln_b, w1, b1, eps, interpret), (x, ln_w, ln_b, w1, b1)
-
-
-def _exp_bwd(eps, interpret, res, g):
-    x, ln_w, ln_b, w1, b1 = res
+    # Differentiated path: hand XLA the jnp twin outright (see naf_block.py)
     shape = x.shape
-    _, vjp = jax.vjp(
+    out, vjp = jax.vjp(
         lambda x, lw, lb, w, b: naf_expand_ref(x.reshape(-1, shape[-1]), lw, lb, w, b, eps).reshape(
             *shape[:-1], w.shape[1]
         ),
         x, ln_w, ln_b, w1, b1,
     )
+    return out, vjp
+
+
+def _exp_bwd(eps, interpret, vjp, g):
     return vjp(g)
 
 
@@ -175,16 +175,15 @@ def naf_ffn(y, ln_w, ln_b, w4, b4, w5, b5, gamma, eps: float = 1e-6, interpret: 
 
 
 def _fwd(y, ln_w, ln_b, w4, b4, w5, b5, gamma, eps, interpret):
-    return naf_ffn(y, ln_w, ln_b, w4, b4, w5, b5, gamma, eps, interpret), (y, ln_w, ln_b, w4, b4, w5, b5, gamma)
-
-
-def _bwd(eps, interpret, res, g):
-    y, ln_w, ln_b, w4, b4, w5, b5, gamma = res
     shape = y.shape
-    _, vjp = jax.vjp(
+    out, vjp = jax.vjp(
         lambda y, lw, lb, w4, b4, w5, b5, gm: naf_ffn_ref(y.reshape(-1, shape[-1]), lw, lb, w4, b4, w5, b5, gm, eps).reshape(shape),
         y, ln_w, ln_b, w4, b4, w5, b5, gamma,
     )
+    return out, vjp
+
+
+def _bwd(eps, interpret, vjp, g):
     return vjp(g)
 
 

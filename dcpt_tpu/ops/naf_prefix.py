@@ -120,12 +120,13 @@ def naf_prefix(x, ln_w, ln_b, w1, b1, wdw, bdw, eps: float = 1e-6, interpret: bo
 
 
 def _fwd(x, ln_w, ln_b, w1, b1, wdw, bdw, eps, interpret):
-    return naf_prefix(x, ln_w, ln_b, w1, b1, wdw, bdw, eps, interpret), (x, ln_w, ln_b, w1, b1, wdw, bdw)
+    # Differentiated path: hand XLA the jnp twin outright (see naf_block.py
+    # _fwd — kernel-fwd + twin-recompute-bwd lost 1.86× on a real train step)
+    out, vjp = jax.vjp(lambda *a: naf_prefix_ref(*a, eps), x, ln_w, ln_b, w1, b1, wdw, bdw)
+    return out, vjp
 
 
-def _bwd(eps, interpret, res, g):
-    x, ln_w, ln_b, w1, b1, wdw, bdw = res
-    _, vjp = jax.vjp(lambda *a: naf_prefix_ref(*a, eps), x, ln_w, ln_b, w1, b1, wdw, bdw)
+def _bwd(eps, interpret, vjp, g):
     return vjp(g)
 
 

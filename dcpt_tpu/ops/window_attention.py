@@ -139,12 +139,14 @@ def fused_window_attention(x, wqkv, bqkv, wproj, bproj, num_heads: int, interpre
 
 
 def _fwd(x, wqkv, bqkv, wproj, bproj, num_heads, interpret):
-    return fused_window_attention(x, wqkv, bqkv, wproj, bproj, num_heads, interpret), (x, wqkv, bqkv, wproj, bproj)
+    # Differentiated path: hand XLA the jnp twin outright — kernel forward +
+    # twin recompute in _bwd measured 1.86× slower on a real train step
+    # (PARITY "NAFNet kernel A/B (round 3)"); inference never enters _fwd.
+    out, vjp = jax.vjp(lambda *a: window_attention_ref(*a, num_heads), x, wqkv, bqkv, wproj, bproj)
+    return out, vjp
 
 
-def _bwd(num_heads, interpret, res, g):
-    x, wqkv, bqkv, wproj, bproj = res
-    _, vjp = jax.vjp(lambda *a: window_attention_ref(*a, num_heads), x, wqkv, bqkv, wproj, bproj)
+def _bwd(num_heads, interpret, vjp, g):
     return vjp(g)
 
 
@@ -161,18 +163,16 @@ def fused_window_attention_ln(x, ln_w, ln_b, wqkv, bqkv, wproj, bproj, num_heads
 
 
 def _fwd_ln(x, ln_w, ln_b, wqkv, bqkv, wproj, bproj, num_heads, ln_eps, interpret):
-    out = fused_window_attention_ln(x, ln_w, ln_b, wqkv, bqkv, wproj, bproj, num_heads, ln_eps, interpret)
-    return out, (x, ln_w, ln_b, wqkv, bqkv, wproj, bproj)
-
-
-def _bwd_ln(num_heads, ln_eps, interpret, res, g):
-    x, ln_w, ln_b, wqkv, bqkv, wproj, bproj = res
-    _, vjp = jax.vjp(
+    out, vjp = jax.vjp(
         lambda x, lw, lb, wqkv, bqkv, wproj, bproj: window_attention_ref(
             x, wqkv, bqkv, wproj, bproj, num_heads, ln=(lw, lb, ln_eps)
         ),
         x, ln_w, ln_b, wqkv, bqkv, wproj, bproj,
     )
+    return out, vjp
+
+
+def _bwd_ln(num_heads, ln_eps, interpret, vjp, g):
     return vjp(g)
 
 
@@ -313,13 +313,13 @@ def fused_swin_block(x, ln1_w, ln1_b, wqkv, bqkv, wproj, bproj, ln2_w, ln2_b,
 
 def _fwd_block(x, ln1_w, ln1_b, wqkv, bqkv, wproj, bproj, ln2_w, ln2_b,
                wfc1, bfc1, wfc2, bfc2, num_heads, eps, interpret):
-    out = fused_swin_block(x, ln1_w, ln1_b, wqkv, bqkv, wproj, bproj, ln2_w, ln2_b,
-                           wfc1, bfc1, wfc2, bfc2, num_heads, eps, interpret)
-    return out, (x, ln1_w, ln1_b, wqkv, bqkv, wproj, bproj, ln2_w, ln2_b, wfc1, bfc1, wfc2, bfc2)
+    out, vjp = jax.vjp(
+        lambda *a: swin_block_ref(*a, num_heads, eps),
+        x, ln1_w, ln1_b, wqkv, bqkv, wproj, bproj, ln2_w, ln2_b, wfc1, bfc1, wfc2, bfc2)
+    return out, vjp
 
 
-def _bwd_block(num_heads, eps, interpret, res, g):
-    _, vjp = jax.vjp(lambda *a: swin_block_ref(*a, num_heads, eps), *res)
+def _bwd_block(num_heads, eps, interpret, vjp, g):
     return vjp(g)
 
 

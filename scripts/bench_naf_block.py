@@ -1,10 +1,11 @@
 """NAFNet whole-block kernel A/B on the real chip (the roofline lever).
 
 Cases on the flagship NAFNet-w64 @128px, min-of-interleaved passes:
-  xla_bf16 / xla_fp32            — the shipped XLA paths
-  block*_bf16 / block*_fp32      — the two-phase fused NAFBlock at all
-                                   stages (maxc 4096) and shallow-only
-                                   (maxc 256; the deep stage stays XLA)
+  xla_bf16 / xla_fp32            — the pure XLA paths
+  v1*/v2* bf16/fp32              — the two-phase fused NAFBlock (v1:
+                                   overlap-copy + g spill; v2: halo-pairs +
+                                   recompute-prefix) at all stages (maxc
+                                   4096) / shallow-only (maxc 256)
 """
 from __future__ import annotations
 
@@ -21,6 +22,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from dcpt_tpu.archs import build_network, nafnet_arch
     from dcpt_tpu.ops import enable_pallas
 
@@ -35,18 +39,22 @@ def main() -> None:
     with jax.default_device(cpu):
         params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)))["params"]
 
+    from dcpt_tpu.ops import naf_block as nb
+
     cases = {}
-    for name, (flag, maxc, dtype, bs) in {
-        "xla_bf16_bs32": (False, 0, jnp.bfloat16, 32),
-        "blockall_bf16_bs32": (True, 4096, jnp.bfloat16, 32),
-        "blockshallow_bf16_bs32": (True, 256, jnp.bfloat16, 32),
-        "xla_fp32_bs16": (False, 0, jnp.float32, 16),
-        "blockall_fp32_bs16": (True, 4096, jnp.float32, 16),
+    for name, (flag, maxc, variant, dtype, bs) in {
+        "xla_bf16_bs32": (False, 0, "v2", jnp.bfloat16, 32),
+        "v2all_bf16_bs32": (True, 4096, "v2", jnp.bfloat16, 32),
+        "v2shallow_bf16_bs32": (True, 256, "v2", jnp.bfloat16, 32),
+        "xla_fp32_bs16": (False, 0, "v2", jnp.float32, 16),
+        "v1all_fp32_bs16": (True, 4096, "v1", jnp.float32, 16),
+        "v2all_fp32_bs16": (True, 4096, "v2", jnp.float32, 16),
     }.items():
         p = jax.device_put(jax.tree.map(lambda a: a.astype(dtype), params), accel)
         x = jax.device_put(jnp.asarray(rng.random((bs, size, size, 3), dtype=np.float32), dtype=dtype), accel)
         nafnet_arch._NAF_BLOCK_KERNEL = flag
         nafnet_arch._NAF_BLOCK_MAXC = maxc
+        nb._VARIANT = variant
         enable_pallas("auto" if flag else "off")
         f = jax.jit(lambda p, x, _n=net, _d=dtype: _n.apply({"params": p}, x)[0].astype(_d))
         t0 = time.perf_counter()
@@ -54,7 +62,9 @@ def main() -> None:
         print(f"{name}: compiled+warm in {time.perf_counter() - t0:.1f}s", flush=True)
         cases[name] = (f, p, x, bs)
     enable_pallas("off")
-    nafnet_arch._NAF_BLOCK_KERNEL = False
+    nafnet_arch._NAF_BLOCK_KERNEL = True
+    nafnet_arch._NAF_BLOCK_MAXC = 0
+    nb._VARIANT = "v2"
 
     best = {name: float("inf") for name in cases}
     for _ in range(3):

@@ -236,6 +236,10 @@ class TestNafFFN:
         params = net.init(jax.random.PRNGKey(0), x)
         base, _ = net.apply(params, x)
 
+        from dcpt_tpu.archs import nafnet_arch as _na
+
+        block_was = _na._NAF_BLOCK_KERNEL
+        _na._NAF_BLOCK_KERNEL = False  # pin the per-op kernel path under test
         orig_ffn = nf._ffn_pallas
         orig_exp = nf._expand_pallas
         orig_pref = npf._prefix_pallas
@@ -252,6 +256,7 @@ class TestNafFFN:
             fused, _ = net.apply(params, x)
         finally:
             enable_pallas(False)
+            _na._NAF_BLOCK_KERNEL = block_was
             nf._ffn_pallas = orig_ffn
             nf._expand_pallas = orig_exp
             npf._prefix_pallas = orig_pref
@@ -493,9 +498,12 @@ class TestPallasGatingPolicy:
 
 
 class TestNafBlockFused:
-    def test_matches_reference_kernel(self, rng):
-        """Two-phase whole-NAFBlock kernel == jnp composition (interpret)."""
-        from dcpt_tpu.ops.naf_block import naf_block_fused, naf_block_ref
+    @pytest.mark.parametrize("variant", ["v1", "v2"])
+    def test_matches_reference_kernel(self, rng, variant):
+        """Two-phase whole-NAFBlock kernel == jnp composition (interpret) —
+        both the v1 (overlap-copy + g spill) and v2 (halo-pairs +
+        recompute-prefix) implementations, incl. the n_t==1 degenerate tile."""
+        import dcpt_tpu.ops.naf_block as nb
 
         b, h, w, c = 2, 16, 8, 8
         dw, ffn = 2 * c, 2 * c
@@ -504,9 +512,11 @@ class TestNafBlockFused:
         args = (x, jnp.ones(c), jnp.zeros(c), a(c, dw), a(dw), a(3, 3, dw), a(dw),
                 a(dw // 2, dw // 2), a(dw // 2), a(dw // 2, c), a(c), a(c) + 0.5,
                 jnp.ones(c), jnp.zeros(c), a(c, ffn), a(ffn), a(ffn // 2, c), a(c), a(c) + 0.5)
-        fused = naf_block_fused(*args, 1e-6, 8, True)
-        ref = naf_block_ref(*args, 1e-6)
-        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-5)
+        impl = nb._block_pallas_v1 if variant == "v1" else nb._block_pallas_v2
+        ref = nb.naf_block_ref(*args, 1e-6)
+        for th in (8, h):
+            fused = impl(*args, 1e-6, th, True)
+            np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-5)
 
     def test_matches_reference_kernel_grads(self, rng):
         from dcpt_tpu.ops.naf_block import naf_block_fused, naf_block_ref
