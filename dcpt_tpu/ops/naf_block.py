@@ -46,20 +46,34 @@ from jax.experimental.pallas import tpu as pltpu
 from .naf_prefix import naf_prefix_ref
 
 
+def _conv1x1(t, w, b):
+    ci, co = w.shape
+    return jax.lax.conv_general_dilated(
+        t, w.reshape(1, 1, ci, co), (1, 1), ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b
+
+
 def naf_block_ref(x, n1w, n1b, w1, b1, wdw, bdw, wsca, bsca, w3, b3, beta,
                   n2w, n2b, w4, b4, w5, b5, gamma, eps: float = 1e-6):
-    """jnp twin of the full NAFBlock on (B, H, W, C); beta/gamma are (C,)."""
+    """jnp twin of the full NAFBlock on (B, H, W, C); beta/gamma are (C,).
+
+    Every 1×1 is a CONV, mirroring the module path exactly: differentiated
+    traces compile this twin (custom-VJP _fwd delegation), and on v5e a
+    dot/einsum producer in front of a grouped dwconv — including a block
+    tail feeding the NEXT block's prefix in the chained train graph — falls
+    off the ~10× compiler cliff (PARITY "NAFNet kernel A/B (round 2)")."""
     g = naf_prefix_ref(x, n1w, n1b, w1, b1, wdw, bdw, eps)
     pooled = jnp.mean(g, axis=(1, 2), keepdims=True)
-    att = jnp.einsum("bijc,cd->bijd", pooled, wsca) + bsca
-    u = jnp.einsum("bhwc,cd->bhwd", g * att, w3) + b3
+    att = _conv1x1(pooled, wsca, bsca)
+    u = _conv1x1(g * att, w3, b3)
     y = x + u * beta
     mu = jnp.mean(y, axis=-1, keepdims=True)
     var = jnp.mean((y - mu) ** 2, axis=-1, keepdims=True)
     ln2 = (y - mu) * jax.lax.rsqrt(var + eps) * n2w + n2b
-    h = jnp.einsum("bhwc,cd->bhwd", ln2, w4) + b4
+    h = _conv1x1(ln2, w4, b4)
     h1, h2 = jnp.split(h, 2, axis=-1)
-    out = jnp.einsum("bhwc,cd->bhwd", h1 * h2, w5) + b5
+    out = _conv1x1(h1 * h2, w5, b5)
     return y + out * gamma
 
 

@@ -34,8 +34,16 @@ def naf_prefix_ref(x, ln_w, ln_b, w1, b1, wdw, bdw, eps: float = 1e-6):
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
     t = (x - mu) * jax.lax.rsqrt(var + eps) * ln_w + ln_b
-    t = jnp.einsum("bhwc,cd->bhwd", t, w1) + b1
+    # 1×1 expand as a CONV, not an einsum: on v5e any dot/einsum producer
+    # feeding the grouped dwconv below compiles+runs ~10× slower (PARITY.md
+    # "NAFNet kernel A/B (round 2)"); this ref is what differentiated traces
+    # compile (the custom-VJP _fwd delegation), so it must dodge the cliff.
+    c = x.shape[-1]
     dw = w1.shape[1]
+    t = jax.lax.conv_general_dilated(
+        t, w1.reshape(1, 1, c, dw), (1, 1), ((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b1
     t = jax.lax.conv_general_dilated(
         t, wdw.reshape(3, 3, 1, dw), (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=dw,
