@@ -58,6 +58,16 @@ class PromptTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from ..ops import pallas_winner_enabled
+        from .restormer_arch import _MDTA_BLOCK_KERNEL, _fused_transformer_block, _mdta_block_on
+
+        if (_MDTA_BLOCK_KERNEL and _mdta_block_on(x.dtype) and pallas_winner_enabled()
+                and not self.bias and self.cp is None):
+            out = _fused_transformer_block(
+                x, self.dim, self.num_heads, int(self.dim * self.ffn_expansion_factor),
+                self.layernorm_bias, True, 1e-5)
+            if out is not None:
+                return out
         x = x + MDTA(self.dim, self.num_heads, self.bias, use_softmax=True, cp=self.cp, name="attn")(
             ChannelLayerNorm5(self.dim, self.layernorm_bias, name="norm1")(x)
         )

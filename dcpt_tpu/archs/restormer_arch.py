@@ -22,6 +22,7 @@ names (``encoder_level1`` …) so DCPT hook-name filtering works unchanged.
 
 from __future__ import annotations
 
+import os as _os
 import re as _re
 from typing import Sequence
 
@@ -31,6 +32,22 @@ import flax.linen as nn
 
 from ..utils.registry import ARCH_REGISTRY
 from .arch_util import pixel_shuffle, pixel_unshuffle, trunc_normal_init
+
+# whole-TransformerBlock two-phase kernel (ops/mdta_block.py) — the Restormer
+# roofline's "whole-block VMEM residency" lever: LN→qkv→dwconv + Gram
+# accumulation in pass 1, attention application + projection + whole GDFN in
+# pass 2, with the C×C attention micro-matrix built between passes on the
+# host graph.  DCPT_TPU_MDTA_BLOCK=0 kill-switch, =1 forces it everywhere
+# (A/B), unset = per-dtype measured-winner policy (_mdta_block_on).
+_MDTA_BLOCK_ENV = _os.environ.get("DCPT_TPU_MDTA_BLOCK", "auto")
+_MDTA_BLOCK_KERNEL = _MDTA_BLOCK_ENV != "0"
+
+
+def _mdta_block_on(dtype) -> bool:
+    """Per-dtype default for the whole-block kernel (opt-in pending A/B)."""
+    if _MDTA_BLOCK_ENV == "1":
+        return True
+    return False
 
 
 def _conv(features: int, k: int, bias: bool, name: str, groups: int = 1) -> nn.Conv:
@@ -166,6 +183,63 @@ class GDFN(nn.Module):
         return _conv(self.dim, 1, False, "project_out")(x)
 
 
+class _MDTAParamHolder(nn.Module):
+    """MDTA's param tree (bias-free) without the compute — the whole-block
+    kernel path shares the exact checkpoint layout of the module path."""
+
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self):
+        from .arch_util import _ConvParamHolder
+
+        c, ti = self.dim, trunc_normal_init(0.02)
+        wqkv, _ = _ConvParamHolder(c, 3 * c, use_bias=False, kernel_init=ti, name="qkv")()
+        wdwq, _ = _ConvParamHolder(1, 3 * c, use_bias=False, kernel_init=ti, kernel_size=3, name="qkv_dwconv")()
+        temperature = self.param("temperature", nn.initializers.ones, (self.heads, 1, 1))
+        wproj, _ = _ConvParamHolder(c, c, use_bias=False, kernel_init=ti, name="project_out")()
+        return wqkv, wdwq, temperature, wproj
+
+
+class _GDFNParamHolder(nn.Module):
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        from .arch_util import _ConvParamHolder
+
+        ti = trunc_normal_init(0.02)
+        win_, _ = _ConvParamHolder(self.dim, 2 * self.hidden, use_bias=False, kernel_init=ti, name="project_in")()
+        wdwf, _ = _ConvParamHolder(1, 2 * self.hidden, use_bias=False, kernel_init=ti, kernel_size=3, name="dwconv")()
+        wout, _ = _ConvParamHolder(self.hidden, self.dim, use_bias=False, kernel_init=ti, name="project_out")()
+        return win_, wdwf, wout
+
+
+def _fused_transformer_block(x, dim, heads, hidden, ln_bias, use_softmax, eps):
+    """Whole-block Pallas fast path (must be called from a compact ``__call__``
+    so the holders nest under the calling block); returns None to fall through
+    to the module path."""
+    from ..ops.mdta_block import mdta_block_fused, pick_row_tile
+    from .arch_util import _NormParamHolder
+
+    _, h, w, c = x.shape
+    th = pick_row_tile(h, w, c, hidden)
+    if th is None:
+        return None
+    n1w, n1b = _NormParamHolder(c, use_bias=ln_bias, name="norm1")()
+    wqkv, wdwq, temperature, wproj = _MDTAParamHolder(c, heads, name="attn")()
+    n2w, n2b = _NormParamHolder(c, use_bias=ln_bias, name="norm2")()
+    win_, wdwf, wout = _GDFNParamHolder(c, hidden, name="ffn")()
+    return mdta_block_fused(
+        x, n1w, n1b, wqkv.reshape(c, 3 * c), wdwq.reshape(3, 3, 3 * c),
+        temperature, wproj.reshape(c, c), n2w, n2b,
+        win_.reshape(c, 2 * hidden), wdwf.reshape(3, 3, 2 * hidden),
+        wout.reshape(hidden, c), heads, use_softmax, ln_bias, eps, th,
+    )
+
+
 class TransformerBlock(nn.Module):
     dim: int
     num_heads: int
@@ -177,6 +251,15 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from ..ops import pallas_winner_enabled
+
+        if (_MDTA_BLOCK_KERNEL and _mdta_block_on(x.dtype) and pallas_winner_enabled()
+                and not self.bias and self.cp is None):
+            out = _fused_transformer_block(
+                x, self.dim, self.num_heads, int(self.dim * self.ffn_expansion_factor),
+                self.layernorm_bias, self.use_softmax, 1e-6)
+            if out is not None:
+                return out
         # NOTE: the hot path stays on XLA — deliberately.  Profiled on v5e
         # (128px bs1, full ablation, PARITY.md "Restormer roofline"): the
         # LayerNorms, dwconvs and head transposes are each ~free (XLA fuses

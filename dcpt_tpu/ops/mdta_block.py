@@ -1,0 +1,289 @@
+"""Whole-TransformerBlock (MDTA + GDFN) fusion — two Pallas kernels + a host
+attention micro-matrix.
+
+The Restormer roofline (PARITY.md) measured the model HBM-bandwidth-bound
+across many small well-fused XLA ops, with the remaining ~2× headroom gated
+on whole-block VMEM residency — which single-pass kernels can't provide
+because the MDTA q/k L2-normalisation and channel Gram are GLOBAL pixel
+reductions.  This module supplies the two-phase answer (the NAFBlock /
+SwinBlock round-3 recipe, reference basicsr/archs/restormer_arch.py:75-145):
+
+  P1  per (batch, row-tile): LN1 → qkv 1×1 → depthwise 3×3, then
+      accumulate the RAW channel Gram  G += qᵀk  (C×C, fp32), the squared
+      norms |q|²,|k|² (C), and spill v — q and k never touch HBM;
+  --  host: attn = act(G · rsqrt|q|² ⊗ rsqrt|k|² · T) on the C×C micro
+      matrix, with the per-head structure applied as a BLOCK-DIAGONAL mask
+      (channels stay packed: no per-head relayouts, C_h is 48 at every
+      level of the shipped configs so the masked waste is small and the
+      lane-unaligned head reshapes that sank the round-2 per-op kernels
+      disappear);
+  P2  per (batch, row-tile): out = v·attnᵀ → project_out → +x residual →
+      LN2 → project_in → depthwise 3×3 → exact-erf GELU gate →
+      project_out → +residual, emitting the block output once.
+
+L2-normalising AFTER the Gram is exact: (q̂k̂ᵀ)_cd = G_cd/(|q_c||k_d|) —
+the same identity the context-parallel MDTA psums use
+(archs/restormer_arch.py MDTA.cp).  Softmax (PromptIR) is computed on the
+host micro-matrix with off-block logits at −∞, equal to the per-head
+softmax.  Supports BiasFree (Restormer, eps 1e-6) and WithBias (PromptIR,
+eps 1e-5) LayerNorms; all convs are bias-free in both shipped configs.
+
+HBM traffic per block: read x twice (+2 halo rows/tile), write+read v,
+write z ≈ 6 C-wide traversals vs XLA's ~20+.  Backward delegates to the
+jnp twin (kernels fire on inference traces only — see naf_block.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .naf_block import _halo_pairs, _shift_cols, _shift_rows
+
+
+def _ln_channel(x2, w, b, eps, ln_bias):
+    """Channel LayerNorm on (rows, C) fp32; BiasFree keeps the uncentred
+    output with centred variance (reference restormer_arch.py:26-41)."""
+    mu = jnp.mean(x2, axis=-1, keepdims=True)
+    var = jnp.mean((x2 - mu) ** 2, axis=-1, keepdims=True)
+    if ln_bias:
+        return (x2 - mu) * jax.lax.rsqrt(var + eps) * w + b
+    return x2 * jax.lax.rsqrt(var + eps) * w
+
+
+def _gelu_exact(x):
+    """Exact-erf GELU via the Abramowitz–Stegun 7.1.26 rational erf
+    (|err| ≤ 1.5e-7; Pallas TPU lowers neither erf nor erfc)."""
+    z = x * 0.7071067811865476
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * az)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    erf_abs = 1.0 - poly * jnp.exp(-az * az)
+    erf = jnp.where(z >= 0, erf_abs, -erf_abs)
+    return 0.5 * x * (1.0 + erf)
+
+
+def _dwconv3x3(t, wdw, valid):
+    """9-tap depthwise 3×3 on (hp, W, D) via shifts; `valid` masks rows that
+    lie outside the image so the border matches lax zero padding."""
+    t = jnp.where(valid, t, 0.0)
+    hp, w, d = t.shape
+    acc = jnp.zeros((hp, w, d), jnp.float32)
+    for dy in (-1, 0, 1):
+        ty = _shift_rows(t, dy)
+        for dx in (-1, 0, 1):
+            acc = acc + _shift_cols(ty, dx) * wdw[1 - dy, 1 - dx][None, None, :]
+    return acc
+
+
+def _attn_from_stats(gram, qn2, kn2, temperature, heads, use_softmax):
+    """Host micro-step: (B, C, C) raw Gram + norms → masked attention."""
+    b, c, _ = gram.shape
+    ch = c // heads
+    # F.normalize eps: x / max(|x|, 1e-12) == x * rsqrt(max(|x|², 1e-24))
+    attn = gram * jax.lax.rsqrt(jnp.maximum(qn2, 1e-24))[:, :, None]
+    attn = attn * jax.lax.rsqrt(jnp.maximum(kn2, 1e-24))[:, None, :]
+    temp = jnp.repeat(temperature.reshape(heads), ch)  # (C,)
+    attn = attn * temp[None, :, None]
+    blk = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0) // ch == (
+        jax.lax.broadcasted_iota(jnp.int32, (c, c), 1) // ch
+    )
+    if use_softmax:
+        attn = jax.nn.softmax(jnp.where(blk[None], attn, -jnp.inf), axis=-1)
+    else:
+        attn = jnp.where(blk[None], jax.nn.relu(attn), 0.0)
+    return attn.astype(jnp.float32)
+
+
+def mdta_block_ref(x, n1w, n1b, wqkv, wdwq, temperature, wproj,
+                   n2w, n2b, win_, wdwf, wout,
+                   heads: int, use_softmax: bool, ln_bias: bool, eps: float):
+    """jnp twin of the whole TransformerBlock on (B, H, W, C).
+
+    1×1 projections are CONVS (not einsums) so differentiated traces that
+    compile this twin keep conv producers in front of the grouped dwconvs
+    (the v5e cliff — PARITY "NAFNet kernel A/B (round 2)")."""
+    b, h, w, c = x.shape
+
+    def conv1x1(t, wmat):
+        ci, co = wmat.shape
+        return jax.lax.conv_general_dilated(
+            t, wmat.reshape(1, 1, ci, co), (1, 1), ((0, 0), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def dwconv(t, wdw):
+        d = t.shape[-1]
+        return jax.lax.conv_general_dilated(
+            t, wdw.reshape(3, 3, 1, d), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=d)
+
+    ln1 = _ln_channel(x.reshape(-1, c).astype(jnp.float32), n1w, n1b, eps, ln_bias)
+    qkv = dwconv(conv1x1(ln1.reshape(b, h, w, c).astype(x.dtype), wqkv), wdwq)
+    q, k, v = jnp.split(qkv.astype(jnp.float32), 3, axis=-1)
+    q2, k2 = q.reshape(b, -1, c), k.reshape(b, -1, c)
+    gram = jnp.einsum("bpc,bpd->bcd", q2, k2)
+    qn2 = jnp.sum(q2 * q2, axis=1)
+    kn2 = jnp.sum(k2 * k2, axis=1)
+    attn = _attn_from_stats(gram, qn2, kn2, temperature, heads, use_softmax)
+    out = jnp.einsum("bpd,bcd->bpc", v.reshape(b, -1, c), attn)
+    y = x + conv1x1(out.reshape(b, h, w, c).astype(x.dtype), wproj)
+
+    ln2 = _ln_channel(y.reshape(-1, c).astype(jnp.float32), n2w, n2b, eps, ln_bias)
+    t2 = dwconv(conv1x1(ln2.reshape(b, h, w, c).astype(y.dtype), win_), wdwf)
+    f2 = t2.shape[-1] // 2
+    gated = _gelu_exact(t2[..., :f2].astype(jnp.float32)) * t2[..., f2:].astype(jnp.float32)
+    return y + conv1x1(gated.astype(y.dtype), wout)
+
+
+def _p1_kernel(x_ref, halo_ref, n1w_ref, n1b_ref, wqkv_ref, wdwq_ref,
+               v_ref, gram_ref, qn2_ref, kn2_ref, *,
+               eps: float, ln_bias: bool, th: int):
+    f32 = jnp.float32
+    it = pl.program_id(1)
+    n_t = pl.num_programs(1)
+    x = x_ref[0].astype(f32)  # (th, W, C)
+    _, w, c = x.shape
+    win = jnp.concatenate([halo_ref[0, 0, 0:1].astype(f32), x, halo_ref[0, 0, 1:2].astype(f32)], axis=0)
+    hp = th + 2
+    ln = _ln_channel(win.reshape(hp * w, c), n1w_ref[0].astype(f32), n1b_ref[0].astype(f32), eps, ln_bias)
+    t = jnp.dot(ln, wqkv_ref[:].astype(f32), preferred_element_type=f32).reshape(hp, w, 3 * c)
+    row = jax.lax.broadcasted_iota(jnp.int32, (hp, 1, 1), 0)
+    valid = ~(((row == 0) & (it == 0)) | ((row == hp - 1) & (it == n_t - 1)))
+    qkv = _dwconv3x3(t, wdwq_ref[:].astype(f32), valid)[1 : th + 1]  # (th, W, 3C)
+    q = qkv[:, :, :c].reshape(th * w, c)
+    k = qkv[:, :, c : 2 * c].reshape(th * w, c)
+    v = qkv[:, :, 2 * c :]
+    v_ref[0] = v.astype(v_ref.dtype)
+
+    g = jax.lax.dot_general(q, k, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+    qs = jnp.broadcast_to(jnp.sum(q * q, axis=0)[None], (8, c))
+    ks = jnp.broadcast_to(jnp.sum(k * k, axis=0)[None], (8, c))
+
+    @pl.when(it == 0)
+    def _init():
+        gram_ref[0] = g
+        qn2_ref[0] = qs
+        kn2_ref[0] = ks
+
+    @pl.when(it > 0)
+    def _acc():
+        gram_ref[0] += g
+        qn2_ref[0] += qs
+        kn2_ref[0] += ks
+
+
+def _p2_kernel(x_ref, xh_ref, v_ref, vh_ref, attn_ref, wproj_ref,
+               n2w_ref, n2b_ref, win_ref, wdwf_ref, wout_ref, z_ref, *,
+               eps: float, ln_bias: bool, th: int):
+    f32 = jnp.float32
+    it = pl.program_id(1)
+    n_t = pl.num_programs(1)
+    x = x_ref[0].astype(f32)
+    _, w, c = x.shape
+    hp = th + 2
+    xwin = jnp.concatenate([xh_ref[0, 0, 0:1].astype(f32), x, xh_ref[0, 0, 1:2].astype(f32)], axis=0)
+    vwin = jnp.concatenate(
+        [vh_ref[0, 0, 0:1].astype(f32), v_ref[0].astype(f32), vh_ref[0, 0, 1:2].astype(f32)], axis=0)
+
+    # attention application + projection for the whole window (halo rows of
+    # y feed the GDFN dwconv)
+    out = jax.lax.dot_general(vwin.reshape(hp * w, c), attn_ref[0].astype(f32),
+                              (((1,), (1,)), ((), ())), preferred_element_type=f32)
+    y = xwin.reshape(hp * w, c) + jnp.dot(out, wproj_ref[:].astype(f32), preferred_element_type=f32)
+
+    ln2 = _ln_channel(y, n2w_ref[0].astype(f32), n2b_ref[0].astype(f32), eps, ln_bias)
+    t2 = jnp.dot(ln2, win_ref[:].astype(f32), preferred_element_type=f32)
+    f2 = t2.shape[-1] // 2
+    row = jax.lax.broadcasted_iota(jnp.int32, (hp, 1, 1), 0)
+    valid = ~(((row == 0) & (it == 0)) | ((row == hp - 1) & (it == n_t - 1)))
+    t2 = _dwconv3x3(t2.reshape(hp, w, 2 * f2), wdwf_ref[:].astype(f32), valid)[1 : th + 1]
+    t2 = t2.reshape(th * w, 2 * f2)
+    gated = _gelu_exact(t2[:, :f2]) * t2[:, f2:]
+    out2 = jnp.dot(gated, wout_ref[:].astype(f32), preferred_element_type=f32)
+    z = y.reshape(hp, w, c)[1 : th + 1].reshape(th * w, c) + out2
+    z_ref[0] = z.reshape(th, w, c).astype(z_ref.dtype)
+
+
+def pick_row_tile(h: int, w: int, c: int, f2: int) -> int | None:
+    """Largest row tile whose P2 live set (~x, v, y, attn-out in C plus the
+    (th+2, W, 2F) GDFN map ×2) fits ~12 MB of fp32 VMEM."""
+    lane = lambda d: -(-d // 128) * 128  # noqa: E731
+    per_row = 4 * w * (6 * lane(c) + 2 * lane(2 * f2) + lane(3 * c))
+    budget = 12 * 1024 * 1024
+    for th in (64, 32, 16, 8, 4):
+        if h % th == 0 and (th + 2) * per_row <= budget:
+            return th
+    return None
+
+
+def _block_pallas(x, n1w, n1b, wqkv, wdwq, temperature, wproj,
+                  n2w, n2b, win_, wdwf, wout,
+                  heads, use_softmax, ln_bias, eps, th, interpret):
+    b, h, w, c = x.shape
+    f2 = win_.shape[1] // 2
+    n_t = h // th
+    halo = _halo_pairs(x, th, n_t)
+
+    xspec = pl.BlockSpec((1, th, w, c), lambda bb, tt: (bb, tt, 0, 0), memory_space=pltpu.VMEM)
+    hspec = pl.BlockSpec((1, 1, 2, w, c), lambda bb, tt: (bb, tt, 0, 0, 0), memory_space=pltpu.VMEM)
+    cst = lambda shape: pl.BlockSpec(shape, lambda bb, tt: (0,) * len(shape), memory_space=pltpu.VMEM)  # noqa: E731
+    acc = lambda shape: pl.BlockSpec(shape, lambda bb, tt: (bb,) + (0,) * (len(shape) - 1), memory_space=pltpu.VMEM)  # noqa: E731
+
+    v, gram, qn2, kn2 = pl.pallas_call(
+        functools.partial(_p1_kernel, eps=eps, ln_bias=ln_bias, th=th),
+        grid=(b, n_t),
+        in_specs=[xspec, hspec, cst((1, c)), cst((1, c)), cst((c, 3 * c)), cst((3, 3, 3 * c))],
+        out_specs=[xspec, acc((1, c, c)), acc((1, 8, c)), acc((1, 8, c))],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+            jax.ShapeDtypeStruct((b, c, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, 8, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, 8, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, halo, n1w[None], n1b[None], wqkv, wdwq)
+
+    attn = _attn_from_stats(gram, qn2[:, 0], kn2[:, 0], temperature, heads, use_softmax)
+    vhalo = _halo_pairs(v, th, n_t)
+
+    z = pl.pallas_call(
+        functools.partial(_p2_kernel, eps=eps, ln_bias=ln_bias, th=th),
+        grid=(b, n_t),
+        in_specs=[xspec, hspec, xspec, hspec, acc((1, c, c)), cst((c, c)),
+                  cst((1, c)), cst((1, c)), cst((c, 2 * f2)), cst((3, 3, 2 * f2)), cst((f2, c))],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+        interpret=interpret,
+    )(x, halo, v, vhalo, attn, wproj, n2w[None], n2b[None], win_, wdwf, wout)
+    return z
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16, 17))
+def mdta_block_fused(x, n1w, n1b, wqkv, wdwq, temperature, wproj,
+                     n2w, n2b, win_, wdwf, wout,
+                     heads: int, use_softmax: bool, ln_bias: bool,
+                     eps: float = 1e-6, th: int = 16, interpret: bool = False):
+    """The whole TransformerBlock over (B, H, W, C); requires H % th == 0."""
+    return _block_pallas(x, n1w, n1b, wqkv, wdwq, temperature, wproj,
+                         n2w, n2b, win_, wdwf, wout,
+                         heads, use_softmax, ln_bias, eps, th, interpret)
+
+
+def _fwd(x, n1w, n1b, wqkv, wdwq, temperature, wproj, n2w, n2b, win_, wdwf, wout,
+         heads, use_softmax, ln_bias, eps, th, interpret):
+    # Differentiated path: hand XLA the jnp twin outright (see naf_block.py)
+    out, vjp = jax.vjp(
+        lambda *a: mdta_block_ref(*a, heads, use_softmax, ln_bias, eps),
+        x, n1w, n1b, wqkv, wdwq, temperature, wproj, n2w, n2b, win_, wdwf, wout)
+    return out, vjp
+
+
+def _bwd(heads, use_softmax, ln_bias, eps, th, interpret, vjp, g):
+    return vjp(g)
+
+
+mdta_block_fused.defvjp(_fwd, _bwd)

@@ -559,3 +559,103 @@ class TestNafBlockFused:
         finally:
             enable_pallas(False)
         np.testing.assert_allclose(np.asarray(fused), np.asarray(base), atol=3e-5)
+
+
+class TestMDTABlockFused:
+    def _args(self, rng, b=2, h=16, w=8, c=12, heads=3):
+        hidden = int(c * 2.66)
+        a = lambda *shape: jnp.asarray(rng.standard_normal(shape).astype(np.float32) * 0.1)
+        x = a(b, h, w, c)
+        rest = (a(c) + 1.0, a(c), a(c, 3 * c), a(3, 3, 3 * c), a(heads, 1, 1) + 1.0,
+                a(c, c), a(c) + 1.0, a(c), a(c, 2 * hidden), a(3, 3, 2 * hidden), a(hidden, c))
+        return x, rest
+
+    @pytest.mark.parametrize("use_softmax,ln_bias,eps", [(False, False, 1e-6), (True, True, 1e-5)])
+    def test_matches_ref(self, rng, use_softmax, ln_bias, eps):
+        """Two-phase whole-TransformerBlock kernel == jnp twin (interpret),
+        both the Restormer (ReLU/BiasFree) and PromptIR (softmax/WithBias)
+        flavours, incl. the n_t==1 degenerate tile."""
+        from dcpt_tpu.ops.mdta_block import _block_pallas, mdta_block_ref
+
+        x, rest = self._args(rng)
+        ref = mdta_block_ref(x, *rest, 3, use_softmax, ln_bias, eps)
+        for th in (8, 16):
+            fused = _block_pallas(x, *rest, 3, use_softmax, ln_bias, eps, th, True)
+            np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=5e-5)
+
+    def test_grads_delegate_to_twin(self, rng):
+        from dcpt_tpu.ops.mdta_block import mdta_block_fused, mdta_block_ref
+
+        x, rest = self._args(rng, b=1, h=8)
+        g1 = jax.grad(lambda x: jnp.sum(mdta_block_fused(x, *rest, 3, False, False, 1e-6, 8, True) ** 2))(x)
+        g2 = jax.grad(lambda x: jnp.sum(mdta_block_ref(x, *rest, 3, False, False, 1e-6) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+    @pytest.mark.parametrize("variant", ["restormer", "promptir"])
+    def test_ref_matches_module(self, rng, variant):
+        """The jnp twin == the flax TransformerBlock module forward, with the
+        module's own initialized params — validates the twin's LN eps /
+        ReLU-vs-softmax / exact-erf GELU semantics against the parity-tested
+        module path (reference basicsr/archs/restormer_arch.py:75-145)."""
+        from dcpt_tpu.archs.promptir_arch import PromptTransformerBlock
+        from dcpt_tpu.archs.restormer_arch import TransformerBlock
+        from dcpt_tpu.ops.mdta_block import mdta_block_ref
+
+        c, heads, hidden = 12, 3, int(12 * 2.66)
+        if variant == "restormer":
+            blk = TransformerBlock(c, heads, layernorm_bias=False, use_softmax=False)
+            use_softmax, ln_bias, eps = False, False, 1e-6
+        else:
+            blk = PromptTransformerBlock(c, heads, layernorm_bias=True)
+            use_softmax, ln_bias, eps = True, True, 1e-5
+        x = jnp.asarray(rng.standard_normal((2, 16, 8, c)).astype(np.float32) * 0.3)
+        params = blk.init(jax.random.PRNGKey(7), x)["params"]
+        base = blk.apply({"params": params}, x)
+
+        p = params
+        zeros = jnp.zeros((c,), jnp.float32)
+        args = (
+            x,
+            p["norm1"]["weight"], p["norm1"].get("bias", zeros),
+            p["attn"]["qkv"]["kernel"].reshape(c, 3 * c),
+            p["attn"]["qkv_dwconv"]["kernel"].reshape(3, 3, 3 * c),
+            p["attn"]["temperature"],
+            p["attn"]["project_out"]["kernel"].reshape(c, c),
+            p["norm2"]["weight"], p["norm2"].get("bias", zeros),
+            p["ffn"]["project_in"]["kernel"].reshape(c, 2 * hidden),
+            p["ffn"]["dwconv"]["kernel"].reshape(3, 3, 2 * hidden),
+            p["ffn"]["project_out"]["kernel"].reshape(hidden, c),
+        )
+        got = mdta_block_ref(*args, heads, use_softmax, ln_bias, eps)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(base), atol=3e-5)
+
+    @pytest.mark.parametrize("variant", ["restormer", "promptir"])
+    def test_arch_with_block_kernel_matches(self, rng, monkeypatch, variant):
+        """Whole Restormer/PromptIR forward identical with the fused-block
+        path — same param tree, checkpoint-interchangeable."""
+        from dcpt_tpu.archs import restormer_arch
+        from dcpt_tpu.ops import enable_pallas
+        import dcpt_tpu.ops.mdta_block as mb
+
+        if variant == "restormer":
+            from dcpt_tpu.archs.restormer_arch import Restormer
+
+            net = Restormer(dim=8, num_blocks=(1, 1, 1, 1), num_refinement_blocks=1, heads=(1, 2, 4, 8))
+        else:
+            from dcpt_tpu.archs.promptir_arch import PromptIR
+
+            net = PromptIR(dim=8, num_blocks=(1, 1, 1, 1), num_refinement_blocks=1, heads=(1, 2, 4, 8))
+        x = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+        params = net.init(jax.random.PRNGKey(0), x)["params"]
+        base, _ = net.apply({"params": params}, x)
+
+        orig = mb._block_pallas
+        monkeypatch.setattr(mb, "_block_pallas", lambda *a: orig(*a[:-1], True))
+        monkeypatch.setattr(restormer_arch, "_mdta_block_on", lambda dtype: True)
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        enable_pallas("auto")
+        try:
+            fused, _ = net.apply({"params": params}, x)
+        finally:
+            enable_pallas(False)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(base), atol=5e-5)
