@@ -10,14 +10,16 @@ flagship matrix (VERDICT r2 item 1):
 * NAFNet fp32/bf16 + 256 px, per-path XLA-vs-Pallas at the headline config
   AND the bf16 point (the shipped default routes the whole-NAFBlock kernel:
   fp32 every stage, bf16 shallow stages — PARITY.md "NAFNet kernel A/B");
-* Restormer fp32/bf16 (XLA-only by measurement — its roofline showed every
-  per-op Pallas fusion losing on the lane-unaligned dims, PARITY.md
-  "Restormer roofline"; the bf16 leg IS its fast path);
+* Restormer fp32/bf16 XLA-vs-whole-block-kernel A/B at bs1/bs8 — the round-3
+  two-phase MDTA+GDFN kernel reversed the round-2 roofline verdict (per-op
+  fusions lost on lane-unaligned dims; the whole-block Gram formulation wins
+  2.10×/1.66× fp32/bf16 — PARITY.md "MDTA whole-block kernel A/B");
 * SwinIR (verbatim test_SwinIR_5d network) fp32 XLA-vs-fused-window-attention
   A/B at bs1/bs4@128px and bs1@256px — min of interleaved passes, the
   methodology that beat the 3× tunnel variance in PARITY — plus the bf16 XLA
   point so the bf16 story stays visible;
-* PromptIR (verbatim test_PromptIR_5d network) bs1/bs8 fp32 + bs8 bf16;
+* PromptIR (verbatim test_PromptIR_5d network) bs1/bs8 fp32 + bs8 bf16,
+  same XLA-vs-kernel A/B (2.16×/1.70×);
 * the DCPT pre-training step (flagship NAFNet-w64 + PromptIR_DC probe,
   bs16@128px) fp32 and mixed-precision, with XLA-cost FLOPs and achieved
   TFLOPS — the method's core workload (SURVEY §3.3).
@@ -211,19 +213,30 @@ def main() -> None:
     extra["nafnet_256px_bs4_fp32_mpix_s"] = round(mpix, 3)
 
     # ------------------------------------------------------------------
-    # Restormer (shipped 5D config) — XLA-only by measurement (roofline)
+    # Restormer (shipped 5D config) — whole-TransformerBlock kernel is the
+    # round-3 default (A/B 2.10× fp32 / 1.66× bf16 — PARITY "MDTA whole-block
+    # kernel A/B"); both paths recorded so either regression stays visible
     # ------------------------------------------------------------------
     rest = build_network(dict(RESTORMER_OPT))
     rest_params = init_params(rest, SIZE)
-    _, mpix, rest_gflops = measure(rest, rest_params, SIZE, 1, jnp.float32, want_flops=True)
-    extra["restormer_bs1_fp32_mpix_s"] = round(mpix, 3)
-    _, mpix, _ = measure(rest, rest_params, SIZE, 8, jnp.float32)
+    enable_pallas(False)
+    _, _, rest_gflops = measure(rest, rest_params, SIZE, 1, jnp.float32, iters=1, want_flops=True)
+    ab = measure_ab(rest, rest_params, SIZE, 1, jnp.float32, modes=("off", "auto"))
+    extra["restormer_bs1_fp32_xla_mpix_s"] = round(ab["off"], 3)
+    extra["restormer_bs1_fp32_pallas_mpix_s"] = round(ab["auto"], 3)
+    extra["restormer_bs1_fp32_mpix_s"] = round(max(ab.values()), 3)
+    ab = measure_ab(rest, rest_params, SIZE, 8, jnp.float32, modes=("off", "auto"))
+    extra["restormer_bs8_fp32_xla_mpix_s"] = round(ab["off"], 3)
+    extra["restormer_bs8_fp32_pallas_mpix_s"] = round(ab["auto"], 3)
+    mpix = max(ab.values())
     extra["restormer_bs8_fp32_mpix_s"] = round(mpix, 3)
     if rest_gflops:
         extra["restormer_fwd_gflop_128px"] = round(rest_gflops, 1)
         extra["restormer_fp32_achieved_tflops"] = round(mpix * rest_gflops / (SIZE * SIZE / 1e6) / 1e3, 1)
-    _, mpix, _ = measure(rest, rest_params, SIZE, 8, jnp.bfloat16)
-    extra["restormer_bs8_bf16_mpix_s"] = round(mpix, 3)
+    ab = measure_ab(rest, rest_params, SIZE, 8, jnp.bfloat16, modes=("off", "auto"))
+    extra["restormer_bs8_bf16_xla_mpix_s"] = round(ab["off"], 3)
+    extra["restormer_bs8_bf16_pallas_mpix_s"] = round(ab["auto"], 3)
+    extra["restormer_bs8_bf16_mpix_s"] = round(max(ab.values()), 3)
 
     # ------------------------------------------------------------------
     # SwinIR (verbatim test_SwinIR_5d network) — fused-kernel A/B (r2 item 1)
@@ -248,19 +261,29 @@ def main() -> None:
         extra["swinir_best_achieved_tflops"] = round(best_swin * swin_gflops / (4 * SIZE * SIZE / 1e6) / 1e3, 1)
 
     # ------------------------------------------------------------------
-    # PromptIR (verbatim test_PromptIR_5d network — first driver-bench entry)
+    # PromptIR (verbatim test_PromptIR_5d network) — same whole-block kernel
+    # default as Restormer (A/B 2.16× fp32 / 1.70× bf16); both paths recorded
     # ------------------------------------------------------------------
     prompt = build_network(dict(PROMPTIR_OPT))
     prompt_params = init_params(prompt, SIZE)
-    _, mpix, prompt_gflops = measure(prompt, prompt_params, SIZE, 1, jnp.float32, want_flops=True)
-    extra["promptir_bs1_fp32_mpix_s"] = round(mpix, 3)
-    _, mpix, _ = measure(prompt, prompt_params, SIZE, 8, jnp.float32)
+    enable_pallas(False)
+    _, _, prompt_gflops = measure(prompt, prompt_params, SIZE, 1, jnp.float32, iters=1, want_flops=True)
+    ab = measure_ab(prompt, prompt_params, SIZE, 1, jnp.float32, modes=("off", "auto"))
+    extra["promptir_bs1_fp32_xla_mpix_s"] = round(ab["off"], 3)
+    extra["promptir_bs1_fp32_pallas_mpix_s"] = round(ab["auto"], 3)
+    extra["promptir_bs1_fp32_mpix_s"] = round(max(ab.values()), 3)
+    ab = measure_ab(prompt, prompt_params, SIZE, 8, jnp.float32, modes=("off", "auto"))
+    extra["promptir_bs8_fp32_xla_mpix_s"] = round(ab["off"], 3)
+    extra["promptir_bs8_fp32_pallas_mpix_s"] = round(ab["auto"], 3)
+    mpix = max(ab.values())
     extra["promptir_bs8_fp32_mpix_s"] = round(mpix, 3)
     if prompt_gflops:
         extra["promptir_fwd_gflop_128px"] = round(prompt_gflops, 1)
         extra["promptir_fp32_achieved_tflops"] = round(mpix * prompt_gflops / (SIZE * SIZE / 1e6) / 1e3, 1)
-    _, mpix, _ = measure(prompt, prompt_params, SIZE, 8, jnp.bfloat16)
-    extra["promptir_bs8_bf16_mpix_s"] = round(mpix, 3)
+    ab = measure_ab(prompt, prompt_params, SIZE, 8, jnp.bfloat16, modes=("off", "auto"))
+    extra["promptir_bs8_bf16_xla_mpix_s"] = round(ab["off"], 3)
+    extra["promptir_bs8_bf16_pallas_mpix_s"] = round(ab["auto"], 3)
+    extra["promptir_bs8_bf16_mpix_s"] = round(max(ab.values()), 3)
 
     # ------------------------------------------------------------------
     # DCPT pre-training step (the method's core — r2 item 3)

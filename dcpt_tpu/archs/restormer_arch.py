@@ -44,10 +44,15 @@ _MDTA_BLOCK_KERNEL = _MDTA_BLOCK_ENV != "0"
 
 
 def _mdta_block_on(dtype) -> bool:
-    """Per-dtype default for the whole-block kernel (opt-in pending A/B)."""
+    """Per-dtype default for the whole-block kernel: ON for both precisions.
+
+    Measured winner on v5e (scripts/bench_mdta_block.py, min-of-interleaved
+    ×2 runs, 128px bs8): Restormer 2.10× fp32 / 1.66× bf16, PromptIR 2.16×
+    fp32 / 1.70× bf16 over the XLA path — PARITY.md "MDTA whole-block
+    kernel A/B (round 3)"."""
     if _MDTA_BLOCK_ENV == "1":
         return True
-    return False
+    return dtype in (jnp.float32, jnp.bfloat16)
 
 
 def _conv(features: int, k: int, bias: bool, name: str, groups: int = 1) -> nn.Conv:

@@ -55,6 +55,10 @@ def main() -> None:
         "prompt_mdta_fp32_bs8": ("prompt", True, jnp.float32, 8),
         "prompt_xla_bf16_bs8": ("prompt", False, jnp.bfloat16, 8),
         "prompt_mdta_bf16_bs8": ("prompt", True, jnp.bfloat16, 8),
+        "rest_xla_fp32_bs1": ("rest", False, jnp.float32, 1),
+        "rest_mdta_fp32_bs1": ("rest", True, jnp.float32, 1),
+        "prompt_xla_fp32_bs1": ("prompt", False, jnp.float32, 1),
+        "prompt_mdta_fp32_bs1": ("prompt", True, jnp.float32, 1),
     }.items():
         net = nets[arch]
         p = jax.device_put(jax.tree.map(lambda a: a.astype(dtype), params0[arch]), accel)

@@ -136,8 +136,12 @@ class TestMDTA:
         g2 = jax.grad(lambda q: jnp.sum(mdta_ref(q, k, v, t.reshape(2, 1, 1), False) ** 2))(q)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
 
-    def test_restormer_with_pallas_mdta_matches(self, rng):
-        """Restormer forward identical with/without the fused MDTA path."""
+    def test_restormer_with_pallas_mdta_matches(self, rng, monkeypatch):
+        """Restormer forward identical with/without the fused MDTA path.
+
+        The round-3 whole-block kernel (default-on) is pinned OFF here so the
+        opt-in per-op MDTA kernel is exercised in isolation."""
+        from dcpt_tpu.archs import restormer_arch
         from dcpt_tpu.archs.restormer_arch import Restormer
         from dcpt_tpu.ops import enable_pallas
         from dcpt_tpu.ops import mdta as mdta_mod
@@ -149,13 +153,13 @@ class TestMDTA:
         # interpret mode so the kernel runs on CPU
         orig = mdta_mod._mdta_pallas
         mdta_mod_interp = lambda q, k, v, t, s, i: orig(q, k, v, t, s, True)
-        mdta_mod._mdta_pallas = mdta_mod_interp
+        monkeypatch.setattr(mdta_mod, "_mdta_pallas", mdta_mod_interp)
+        monkeypatch.setattr(restormer_arch, "_mdta_block_on", lambda dtype: False)
         enable_pallas(True)
         try:
             fused, _ = net.apply(params, x)
         finally:
             enable_pallas(False)
-            mdta_mod._mdta_pallas = orig
         np.testing.assert_allclose(np.asarray(fused), np.asarray(base), atol=1e-4)
 
     def test_tiled_variant_matches(self, rng):

@@ -165,3 +165,80 @@ val:
     results_off = test_pipeline(str(tmp_path), args=["-opt", str(yml)])
     assert not calls
     assert abs(results_off["S"]["psnr"] - results["S"]["psnr"]) < 0.05
+
+
+def test_restormer_default_routes_through_block_kernel(tmp_path, monkeypatch):
+    """Round-3 measured winner: the shipped default path for Restormer (and
+    PromptIR, same gate) must be the whole-TransformerBlock kernel — env
+    unset ("auto") + a TPU backend routes ``test_pipeline`` through
+    ``ops/mdta_block.py``, with ``DCPT_TPU_MDTA_BLOCK=0`` as the
+    kill-switch.  Backend check monkeypatched on this CPU host; the kernel
+    runs in interpret mode (numerics pinned in test_ops.py)."""
+    import jax
+
+    import dcpt_tpu.ops as ops
+    import dcpt_tpu.ops.mdta_block as mb
+    from dcpt_tpu.archs import restormer_arch
+
+    gt_dir = tmp_path / "gt"
+    lq_dir = tmp_path / "lq"
+    gt_dir.mkdir()
+    lq_dir.mkdir()
+    rng = np.random.default_rng(1)
+    img = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+    cv2.imwrite(str(gt_dir / "a.png"), img)
+    cv2.imwrite(str(lq_dir / "a.png"), cv2.GaussianBlur(img, (3, 3), 1))
+    yml = tmp_path / "test_rest_default.yml"
+    yml.write_text(
+        f"""
+name: smoke_rest_default
+model_type: SRModel
+scale: 1
+num_gpu: 0
+manual_seed: 0
+datasets:
+  test_1:
+    name: S
+    type: PairedImageDataset
+    dataroot_gt: {gt_dir}
+    dataroot_lq: {lq_dir}
+    io_backend: {{type: disk}}
+{NETWORKS['Restormer']}
+path: {{}}
+val:
+  save_img: false
+  suffix: ~
+  metrics:
+    psnr: {{type: calculate_psnr, crop_border: 0, image_range: 255.0}}
+"""
+    )
+    from dcpt_tpu.test import test_pipeline
+
+    calls = []
+    orig = mb._block_pallas
+
+    def recording(*a):
+        calls.append(a[0].shape)
+        return orig(*a[:-1], True)
+
+    monkeypatch.setattr(mb, "_block_pallas", recording)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")  # simulate TPU host
+    assert restormer_arch._mdta_block_on(np.float32)  # shipped per-dtype default
+    ops.enable_pallas("auto")  # the shipped default (env unset)
+    try:
+        results = test_pipeline(str(tmp_path), args=["-opt", str(yml)])
+    finally:
+        ops.enable_pallas(False)
+    assert calls, "default Restormer pipeline did not route through the whole-block kernel"
+    assert 0 < results["S"]["psnr"] < 100
+
+    # kill-switch: DCPT_TPU_MDTA_BLOCK=0 semantics take the XLA path
+    calls.clear()
+    monkeypatch.setattr(restormer_arch, "_MDTA_BLOCK_KERNEL", False)
+    ops.enable_pallas("auto")
+    try:
+        results_off = test_pipeline(str(tmp_path), args=["-opt", str(yml)])
+    finally:
+        ops.enable_pallas(False)
+    assert not calls
+    assert abs(results_off["S"]["psnr"] - results["S"]["psnr"]) < 0.05
