@@ -226,13 +226,14 @@ def _fused_transformer_block(x, dim, heads, hidden, ln_bias, use_softmax, eps):
     """Whole-block Pallas fast path (must be called from a compact ``__call__``
     so the holders nest under the calling block); returns None to fall through
     to the module path."""
-    from ..ops.mdta_block import mdta_block_fused, pick_row_tile
+    from ..ops.mdta_block import mdta_block_fused, pick_tiles
     from .arch_util import _NormParamHolder
 
     _, h, w, c = x.shape
-    th = pick_row_tile(h, w, c, hidden)
-    if th is None:
+    tiles = pick_tiles(h, w, c, hidden)
+    if tiles is None:
         return None
+    th, sw = tiles
     n1w, n1b = _NormParamHolder(c, use_bias=ln_bias, name="norm1")()
     wqkv, wdwq, temperature, wproj = _MDTAParamHolder(c, heads, name="attn")()
     n2w, n2b = _NormParamHolder(c, use_bias=ln_bias, name="norm2")()
@@ -242,6 +243,7 @@ def _fused_transformer_block(x, dim, heads, hidden, ln_bias, use_softmax, eps):
         temperature, wproj.reshape(c, c), n2w, n2b,
         win_.reshape(c, 2 * hidden), wdwf.reshape(3, 3, 2 * hidden),
         wout.reshape(hidden, c), heads, use_softmax, ln_bias, eps, th,
+        False, sw,
     )
 
 

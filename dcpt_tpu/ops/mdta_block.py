@@ -36,6 +36,7 @@ jnp twin (kernels fire on inference traces only — see naf_block.py).
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -139,9 +140,19 @@ def mdta_block_ref(x, n1w, n1b, wqkv, wdwq, temperature, wproj,
     return y + conv1x1(gated.astype(y.dtype), wout)
 
 
+def _pad_cols(t):
+    """Zero column each side.  The 1×1 convs are bias-free in every shipped
+    config, so a zero input column yields a zero projected column — exactly
+    the dwconv's zero padding; interior slab edges instead slice REAL
+    neighbour columns from this padded full-width map."""
+    hp, _, c = t.shape
+    zero = jnp.zeros((hp, 1, c), t.dtype)
+    return jnp.concatenate([zero, t, zero], axis=1)
+
+
 def _p1_kernel(x_ref, halo_ref, n1w_ref, n1b_ref, wqkv_ref, wdwq_ref,
                v_ref, gram_ref, qn2_ref, kn2_ref, *,
-               eps: float, ln_bias: bool, th: int):
+               eps: float, ln_bias: bool, th: int, sw: int):
     f32 = jnp.float32
     it = pl.program_id(1)
     n_t = pl.num_programs(1)
@@ -150,18 +161,28 @@ def _p1_kernel(x_ref, halo_ref, n1w_ref, n1b_ref, wqkv_ref, wdwq_ref,
     win = jnp.concatenate([halo_ref[0, 0, 0:1].astype(f32), x, halo_ref[0, 0, 1:2].astype(f32)], axis=0)
     hp = th + 2
     ln = _ln_channel(win.reshape(hp * w, c), n1w_ref[0].astype(f32), n1b_ref[0].astype(f32), eps, ln_bias)
-    t = jnp.dot(ln, wqkv_ref[:].astype(f32), preferred_element_type=f32).reshape(hp, w, 3 * c)
+    lnp = _pad_cols(ln.reshape(hp, w, c))  # (hp, W+2, C) — C-wide, VMEM-cheap
     row = jax.lax.broadcasted_iota(jnp.int32, (hp, 1, 1), 0)
     valid = ~(((row == 0) & (it == 0)) | ((row == hp - 1) & (it == n_t - 1)))
-    qkv = _dwconv3x3(t, wdwq_ref[:].astype(f32), valid)[1 : th + 1]  # (th, W, 3C)
-    q = qkv[:, :, :c].reshape(th * w, c)
-    k = qkv[:, :, c : 2 * c].reshape(th * w, c)
-    v = qkv[:, :, 2 * c :]
-    v_ref[0] = v.astype(v_ref.dtype)
 
-    g = jax.lax.dot_general(q, k, (((0,), (0,)), ((), ())), preferred_element_type=f32)
-    qs = jnp.broadcast_to(jnp.sum(q * q, axis=0)[None], (8, c))
-    ks = jnp.broadcast_to(jnp.sum(k * k, axis=0)[None], (8, c))
+    # the fat 3C-wide qkv map only ever exists one column slab at a time
+    g = jnp.zeros((c, c), f32)
+    qs = jnp.zeros((c,), f32)
+    ks = jnp.zeros((c,), f32)
+    for s in range(w // sw):
+        xs = lnp[:, s * sw : s * sw + sw + 2]  # static slice, 1-col halos
+        t = jnp.dot(xs.reshape(hp * (sw + 2), c), wqkv_ref[:].astype(f32),
+                    preferred_element_type=f32).reshape(hp, sw + 2, 3 * c)
+        qkv = _dwconv3x3(t, wdwq_ref[:].astype(f32), valid)[1 : th + 1, 1 : sw + 1]
+        q = qkv[:, :, :c].reshape(th * sw, c)
+        k = qkv[:, :, c : 2 * c].reshape(th * sw, c)
+        v_ref[0, :, s * sw : (s + 1) * sw, :] = qkv[:, :, 2 * c :].astype(v_ref.dtype)
+        g = g + jax.lax.dot_general(q, k, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+        qs = qs + jnp.sum(q * q, axis=0)
+        ks = ks + jnp.sum(k * k, axis=0)
+
+    qs = jnp.broadcast_to(qs[None], (8, c))
+    ks = jnp.broadcast_to(ks[None], (8, c))
 
     @pl.when(it == 0)
     def _init():
@@ -178,7 +199,7 @@ def _p1_kernel(x_ref, halo_ref, n1w_ref, n1b_ref, wqkv_ref, wdwq_ref,
 
 def _p2_kernel(x_ref, xh_ref, v_ref, vh_ref, attn_ref, wproj_ref,
                n2w_ref, n2b_ref, win_ref, wdwf_ref, wout_ref, z_ref, *,
-               eps: float, ln_bias: bool, th: int):
+               eps: float, ln_bias: bool, th: int, sw: int):
     f32 = jnp.float32
     it = pl.program_id(1)
     n_t = pl.num_programs(1)
@@ -190,42 +211,86 @@ def _p2_kernel(x_ref, xh_ref, v_ref, vh_ref, attn_ref, wproj_ref,
         [vh_ref[0, 0, 0:1].astype(f32), v_ref[0].astype(f32), vh_ref[0, 0, 1:2].astype(f32)], axis=0)
 
     # attention application + projection for the whole window (halo rows of
-    # y feed the GDFN dwconv)
+    # y feed the GDFN dwconv) — all C-wide and MXU-dense, VMEM-cheap
     out = jax.lax.dot_general(vwin.reshape(hp * w, c), attn_ref[0].astype(f32),
                               (((1,), (1,)), ((), ())), preferred_element_type=f32)
     y = xwin.reshape(hp * w, c) + jnp.dot(out, wproj_ref[:].astype(f32), preferred_element_type=f32)
 
     ln2 = _ln_channel(y, n2w_ref[0].astype(f32), n2b_ref[0].astype(f32), eps, ln_bias)
-    t2 = jnp.dot(ln2, win_ref[:].astype(f32), preferred_element_type=f32)
-    f2 = t2.shape[-1] // 2
+    lnp = _pad_cols(ln2.reshape(hp, w, c))
+    yin = y.reshape(hp, w, c)
+    f2 = win_ref.shape[1] // 2
     row = jax.lax.broadcasted_iota(jnp.int32, (hp, 1, 1), 0)
     valid = ~(((row == 0) & (it == 0)) | ((row == hp - 1) & (it == n_t - 1)))
-    t2 = _dwconv3x3(t2.reshape(hp, w, 2 * f2), wdwf_ref[:].astype(f32), valid)[1 : th + 1]
-    t2 = t2.reshape(th * w, 2 * f2)
-    gated = _gelu_exact(t2[:, :f2]) * t2[:, f2:]
-    out2 = jnp.dot(gated, wout_ref[:].astype(f32), preferred_element_type=f32)
-    z = y.reshape(hp, w, c)[1 : th + 1].reshape(th * w, c) + out2
-    z_ref[0] = z.reshape(th, w, c).astype(z_ref.dtype)
+    # the fat 2F-wide GDFN map only ever exists one column slab at a time
+    for s in range(w // sw):
+        ys = lnp[:, s * sw : s * sw + sw + 2]
+        t2 = jnp.dot(ys.reshape(hp * (sw + 2), c), win_ref[:].astype(f32),
+                     preferred_element_type=f32).reshape(hp, sw + 2, 2 * f2)
+        t2 = _dwconv3x3(t2, wdwf_ref[:].astype(f32), valid)[1 : th + 1, 1 : sw + 1]
+        t2 = t2.reshape(th * sw, 2 * f2)
+        gated = _gelu_exact(t2[:, :f2]) * t2[:, f2:]
+        out2 = jnp.dot(gated, wout_ref[:].astype(f32), preferred_element_type=f32)
+        z = yin[1 : th + 1, s * sw : (s + 1) * sw].reshape(th * sw, c) + out2
+        z_ref[0, :, s * sw : (s + 1) * sw, :] = z.reshape(th, sw, c).astype(z_ref.dtype)
 
 
-def pick_row_tile(h: int, w: int, c: int, f2: int) -> int | None:
-    """Largest row tile whose P2 live set (~x, v, y, attn-out in C plus the
-    (th+2, W, 2F) GDFN map ×2) fits ~12 MB of fp32 VMEM."""
+def pick_tiles(h: int, w: int, c: int, f2: int) -> tuple[int, int] | None:
+    """(row tile, column slab) for the two-phase kernel.
+
+    First the round-3 full-width rule (~12 MB with the fat 3C/2F maps at
+    full width) — the A/B-measured configurations (128px levels) keep their
+    exact tiling.  Where that returns None (real eval shapes: 481×321
+    Rain100L, tiled 256–384px inference, GoPro levels) fall back to column
+    slabs: the C-wide arrays (x/v/y/LN maps + halo concats, ≤8 live) stay
+    full-width resident, the fat slab temporaries (~2 live copies through
+    the conv shifts) are budgeted at slab width, and the row tile may be
+    any divisor of h.  Shapes that still exceed budget take the XLA path."""
     lane = lambda d: -(-d // 128) * 128  # noqa: E731
+    # Real v5e scoped-vmem limit is 16 MB and this formula undercounts true
+    # usage by ~1.37× (measured: a 12.09 MB estimate compiled to a 16.62 MB
+    # allocation and OOMed).  10.5 MB keeps every A/B-measured 128px config
+    # (max estimate 10.03 MB) and rejects the OOM shape.
+    budget = int(10.5 * 1024 * 1024)
     per_row = 4 * w * (6 * lane(c) + 2 * lane(2 * f2) + lane(3 * c))
-    budget = 12 * 1024 * 1024
-    for th in (64, 32, 16, 8, 4):
+    # th ≥ 8 is the measured-WINNER region (the 2.1×/1.7× 128px-class
+    # configs, ≤20% halo overhead).  th=4 full-width and the column slabs
+    # below reach the big eval geometries (256/384px tiles, 488×328 whole
+    # images) but MEASURED SLOWER than XLA there (PARITY "MDTA big-shape
+    # A/B": 256px th=4 0.90×/0.76× fp32/bf16; 488×328 slabs 0.72×/0.52×;
+    # 384px slabs 0.94×) — tiny row tiles pay 33–50% halo overhead and the
+    # lane-padded C-wide residents dominate traffic, while XLA streams the
+    # whole image with no halo recompute.  DCPT_TPU_MDTA_SLABS=1 opts the
+    # losing region in for future tuning / re-measurement.
+    opt_in = _os.environ.get("DCPT_TPU_MDTA_SLABS", "0") == "1"
+    for th in (64, 32, 16, 8) + ((4,) if opt_in else ()):
         if h % th == 0 and (th + 2) * per_row <= budget:
-            return th
+            return th, w
+    if not opt_in:
+        return None
+    budget = 10 * 1024 * 1024
+    fat = 2 * max(2 * lane(2 * f2), lane(3 * c))
+    ths = [t for t in (64, 32, 16, 8, 4, 2, 1) if h % t == 0] or [
+        t for t in range(min(h, 64), 0, -1) if h % t == 0]
+    sws = [s for s in (512, 256, 128, 64, 32) if s < w and w % s == 0] or [
+        s for s in range(min(w - 1, 512), 15, -1) if w % s == 0]
+    for th in ths:
+        cwide = 4 * (th + 2) * (w + 2) * 8 * lane(c)
+        if cwide >= budget:
+            continue
+        for sw in sws:
+            if cwide + 4 * (th + 2) * (sw + 2) * fat <= budget:
+                return th, sw
     return None
 
 
 def _block_pallas(x, n1w, n1b, wqkv, wdwq, temperature, wproj,
                   n2w, n2b, win_, wdwf, wout,
-                  heads, use_softmax, ln_bias, eps, th, interpret):
+                  heads, use_softmax, ln_bias, eps, th, interpret, sw=None):
     b, h, w, c = x.shape
     f2 = win_.shape[1] // 2
     n_t = h // th
+    sw = w if sw is None else sw
     halo = _halo_pairs(x, th, n_t)
 
     xspec = pl.BlockSpec((1, th, w, c), lambda bb, tt: (bb, tt, 0, 0), memory_space=pltpu.VMEM)
@@ -234,7 +299,7 @@ def _block_pallas(x, n1w, n1b, wqkv, wdwq, temperature, wproj,
     acc = lambda shape: pl.BlockSpec(shape, lambda bb, tt: (bb,) + (0,) * (len(shape) - 1), memory_space=pltpu.VMEM)  # noqa: E731
 
     v, gram, qn2, kn2 = pl.pallas_call(
-        functools.partial(_p1_kernel, eps=eps, ln_bias=ln_bias, th=th),
+        functools.partial(_p1_kernel, eps=eps, ln_bias=ln_bias, th=th, sw=sw),
         grid=(b, n_t),
         in_specs=[xspec, hspec, cst((1, c)), cst((1, c)), cst((c, 3 * c)), cst((3, 3, 3 * c))],
         out_specs=[xspec, acc((1, c, c)), acc((1, 8, c)), acc((1, 8, c))],
@@ -251,7 +316,7 @@ def _block_pallas(x, n1w, n1b, wqkv, wdwq, temperature, wproj,
     vhalo = _halo_pairs(v, th, n_t)
 
     z = pl.pallas_call(
-        functools.partial(_p2_kernel, eps=eps, ln_bias=ln_bias, th=th),
+        functools.partial(_p2_kernel, eps=eps, ln_bias=ln_bias, th=th, sw=sw),
         grid=(b, n_t),
         in_specs=[xspec, hspec, xspec, hspec, acc((1, c, c)), cst((c, c)),
                   cst((1, c)), cst((1, c)), cst((c, 2 * f2)), cst((3, 3, 2 * f2)), cst((f2, c))],
@@ -262,19 +327,21 @@ def _block_pallas(x, n1w, n1b, wqkv, wdwq, temperature, wproj,
     return z
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16, 17))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16, 17, 18))
 def mdta_block_fused(x, n1w, n1b, wqkv, wdwq, temperature, wproj,
                      n2w, n2b, win_, wdwf, wout,
                      heads: int, use_softmax: bool, ln_bias: bool,
-                     eps: float = 1e-6, th: int = 16, interpret: bool = False):
-    """The whole TransformerBlock over (B, H, W, C); requires H % th == 0."""
+                     eps: float = 1e-6, th: int = 16, interpret: bool = False,
+                     sw: int | None = None):
+    """The whole TransformerBlock over (B, H, W, C); requires H % th == 0
+    (and W % sw == 0 when a column slab is given)."""
     return _block_pallas(x, n1w, n1b, wqkv, wdwq, temperature, wproj,
                          n2w, n2b, win_, wdwf, wout,
-                         heads, use_softmax, ln_bias, eps, th, interpret)
+                         heads, use_softmax, ln_bias, eps, th, interpret, sw)
 
 
 def _fwd(x, n1w, n1b, wqkv, wdwq, temperature, wproj, n2w, n2b, win_, wdwf, wout,
-         heads, use_softmax, ln_bias, eps, th, interpret):
+         heads, use_softmax, ln_bias, eps, th, interpret, sw):
     # Differentiated path: hand XLA the jnp twin outright (see naf_block.py)
     out, vjp = jax.vjp(
         lambda *a: mdta_block_ref(*a, heads, use_softmax, ln_bias, eps),
@@ -282,7 +349,7 @@ def _fwd(x, n1w, n1b, wqkv, wdwq, temperature, wproj, n2w, n2b, win_, wdwf, wout
     return out, vjp
 
 
-def _bwd(heads, use_softmax, ln_bias, eps, th, interpret, vjp, g):
+def _bwd(heads, use_softmax, ln_bias, eps, th, interpret, sw, vjp, g):
     return vjp(g)
 
 

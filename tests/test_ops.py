@@ -586,6 +586,34 @@ class TestMDTABlockFused:
         for th in (8, 16):
             fused = _block_pallas(x, *rest, 3, use_softmax, ln_bias, eps, th, True)
             np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=5e-5)
+        # column slabs (W=8 split 2/4-wide): slab-edge dwconv halos + border
+        # zero-pad must reproduce the full-width result exactly
+        for sw in (2, 4):
+            fused = _block_pallas(x, *rest, 3, use_softmax, ln_bias, eps, 8, True, sw)
+            np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=5e-5)
+
+    def test_pick_tiles_real_shapes(self, monkeypatch):
+        """128px keeps its measured full-width tiling; the measured-loser
+        column slabs (PARITY "MDTA column-slab A/B") need the opt-in env."""
+        from dcpt_tpu.ops.mdta_block import pick_tiles
+
+        assert pick_tiles(128, 128, 48, 127) == (8, 128)  # measured A/B config
+        assert pick_tiles(64, 64, 96, 255)[0] >= 8  # level-2, winner region
+        # measured-loser shapes (256px th=4 full width; 488×328 slabs —
+        # PARITY "MDTA big-shape A/B") default to the XLA path
+        assert pick_tiles(256, 256, 48, 127) is None
+        assert pick_tiles(488, 328, 48, 127) is None
+        # ... and are reachable via the opt-in env for re-measurement
+        monkeypatch.setenv("DCPT_TPU_MDTA_SLABS", "1")
+        assert pick_tiles(256, 256, 48, 127) == (4, 256)
+        for h, w, c, f2 in ((488, 328, 48, 127), (384, 384, 48, 127),
+                            (122, 82, 192, 510), (360, 640, 96, 255)):
+            th, sw = pick_tiles(h, w, c, f2)
+            assert h % th == 0 and w % sw == 0 and sw < w, (h, w, th, sw)
+        monkeypatch.delenv("DCPT_TPU_MDTA_SLABS")
+        for h, w, c, f2 in ((488, 328, 48, 127), (384, 384, 48, 127),
+                            (122, 82, 192, 510), (360, 640, 96, 255)):
+            assert pick_tiles(h, w, c, f2) is None, (h, w)
 
     def test_grads_delegate_to_twin(self, rng):
         from dcpt_tpu.ops.mdta_block import mdta_block_fused, mdta_block_ref
@@ -654,7 +682,7 @@ class TestMDTABlockFused:
         base, _ = net.apply({"params": params}, x)
 
         orig = mb._block_pallas
-        monkeypatch.setattr(mb, "_block_pallas", lambda *a: orig(*a[:-1], True))
+        monkeypatch.setattr(mb, "_block_pallas", lambda *a: orig(*a[:-2], True, a[-1]))
         monkeypatch.setattr(restormer_arch, "_mdta_block_on", lambda dtype: True)
         monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
         enable_pallas("auto")

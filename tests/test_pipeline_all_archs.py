@@ -219,7 +219,7 @@ val:
 
     def recording(*a):
         calls.append(a[0].shape)
-        return orig(*a[:-1], True)
+        return orig(*a[:-2], True, a[-1])
 
     monkeypatch.setattr(mb, "_block_pallas", recording)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")  # simulate TPU host
