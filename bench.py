@@ -13,13 +13,13 @@ flagship matrix (VERDICT r2 item 1):
 * Restormer fp32/bf16 XLA-vs-whole-block-kernel A/B at bs1/bs8 — the round-3
   two-phase MDTA+GDFN kernel reversed the round-2 roofline verdict (per-op
   fusions lost on lane-unaligned dims; the whole-block Gram formulation wins
-  2.10×/1.66× fp32/bf16 — PARITY.md "MDTA whole-block kernel A/B");
+  2.00×/1.59× fp32/bf16 — PARITY.md "MDTA whole-block kernel A/B");
 * SwinIR (verbatim test_SwinIR_5d network) fp32 XLA-vs-fused-window-attention
   A/B at bs1/bs4@128px and bs1@256px — min of interleaved passes, the
   methodology that beat the 3× tunnel variance in PARITY — plus the bf16 XLA
   point so the bf16 story stays visible;
 * PromptIR (verbatim test_PromptIR_5d network) bs1/bs8 fp32 + bs8 bf16,
-  same XLA-vs-kernel A/B (2.16×/1.70×);
+  same XLA-vs-kernel A/B (2.02×/1.60×);
 * the DCPT pre-training step (flagship NAFNet-w64 + PromptIR_DC probe,
   bs16@128px) fp32 and mixed-precision, with XLA-cost FLOPs and achieved
   TFLOPS — the method's core workload (SURVEY §3.3).
@@ -42,6 +42,7 @@ vs_baseline tracks progress round-over-round.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -169,9 +170,16 @@ def main() -> None:
 
     extra: dict[str, float] = {}
 
+    def progress(msg: str) -> None:
+        # stderr so the stdout one-JSON-line contract stays clean; lets a
+        # hung run (slow remote compiles take minutes-to-tens-of-minutes)
+        # show WHERE it is
+        print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
     # ------------------------------------------------------------------
     # NAFNet (headline)
     # ------------------------------------------------------------------
+    progress("NAFNet section")
     naf = build_network(dict(NAFNET_OPT))
     naf_params = init_params(naf, SIZE)
 
@@ -214,9 +222,10 @@ def main() -> None:
 
     # ------------------------------------------------------------------
     # Restormer (shipped 5D config) — whole-TransformerBlock kernel is the
-    # round-3 default (A/B 2.10× fp32 / 1.66× bf16 — PARITY "MDTA whole-block
+    # round-3 default (A/B 2.00× fp32 / 1.59× bf16 — PARITY "MDTA whole-block
     # kernel A/B"); both paths recorded so either regression stays visible
     # ------------------------------------------------------------------
+    progress("Restormer section")
     rest = build_network(dict(RESTORMER_OPT))
     rest_params = init_params(rest, SIZE)
     enable_pallas(False)
@@ -241,6 +250,7 @@ def main() -> None:
     # ------------------------------------------------------------------
     # SwinIR (verbatim test_SwinIR_5d network) — fused-kernel A/B (r2 item 1)
     # ------------------------------------------------------------------
+    progress("SwinIR section")
     swin = build_network(dict(SWINIR_OPT))
     swin_params = init_params(swin, SIZE)
     for bs, size in ((1, 128), (4, 128), (1, 256)):
@@ -262,8 +272,9 @@ def main() -> None:
 
     # ------------------------------------------------------------------
     # PromptIR (verbatim test_PromptIR_5d network) — same whole-block kernel
-    # default as Restormer (A/B 2.16× fp32 / 1.70× bf16); both paths recorded
+    # default as Restormer (A/B 2.02× fp32 / 1.60× bf16); both paths recorded
     # ------------------------------------------------------------------
+    progress("PromptIR section")
     prompt = build_network(dict(PROMPTIR_OPT))
     prompt_params = init_params(prompt, SIZE)
     enable_pallas(False)
@@ -289,6 +300,7 @@ def main() -> None:
     # DCPT pre-training step (the method's core — r2 item 3)
     # ------------------------------------------------------------------
     try:
+        progress("DCPT train-step section")
         train = bench_train_step(rng, cpu, accel)
         extra.update(train)
     except Exception as e:  # noqa: BLE001 — inference numbers still publish

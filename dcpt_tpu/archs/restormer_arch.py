@@ -47,9 +47,10 @@ def _mdta_block_on(dtype) -> bool:
     """Per-dtype default for the whole-block kernel: ON for both precisions.
 
     Measured winner on v5e (scripts/bench_mdta_block.py, min-of-interleaved
-    ×2 runs, 128px bs8): Restormer 2.10× fp32 / 1.66× bf16, PromptIR 2.16×
-    fp32 / 1.70× bf16 over the XLA path — PARITY.md "MDTA whole-block
-    kernel A/B (round 3)"."""
+    ×2 runs, 128px bs8): Restormer 2.00× fp32 / 1.59× bf16, PromptIR 2.02×
+    fp32 / 1.60× bf16 over the XLA path — PARITY.md "MDTA whole-block
+    kernel A/B (round 3)".  Big/odd shapes where the winner tiling can't
+    fit VMEM fall back to XLA inside pick_tiles (measured faster there)."""
     if _MDTA_BLOCK_ENV == "1":
         return True
     return dtype in (jnp.float32, jnp.bfloat16)

@@ -161,25 +161,47 @@ def _p1_kernel(x_ref, halo_ref, n1w_ref, n1b_ref, wqkv_ref, wdwq_ref,
     win = jnp.concatenate([halo_ref[0, 0, 0:1].astype(f32), x, halo_ref[0, 0, 1:2].astype(f32)], axis=0)
     hp = th + 2
     ln = _ln_channel(win.reshape(hp * w, c), n1w_ref[0].astype(f32), n1b_ref[0].astype(f32), eps, ln_bias)
-    lnp = _pad_cols(ln.reshape(hp, w, c))  # (hp, W+2, C) — C-wide, VMEM-cheap
     row = jax.lax.broadcasted_iota(jnp.int32, (hp, 1, 1), 0)
     valid = ~(((row == 0) & (it == 0)) | ((row == hp - 1) & (it == n_t - 1)))
 
-    # the fat 3C-wide qkv map only ever exists one column slab at a time
-    g = jnp.zeros((c, c), f32)
-    qs = jnp.zeros((c,), f32)
-    ks = jnp.zeros((c,), f32)
-    for s in range(w // sw):
-        xs = lnp[:, s * sw : s * sw + sw + 2]  # static slice, 1-col halos
-        t = jnp.dot(xs.reshape(hp * (sw + 2), c), wqkv_ref[:].astype(f32),
-                    preferred_element_type=f32).reshape(hp, sw + 2, 3 * c)
-        qkv = _dwconv3x3(t, wdwq_ref[:].astype(f32), valid)[1 : th + 1, 1 : sw + 1]
-        q = qkv[:, :, :c].reshape(th * sw, c)
-        k = qkv[:, :, c : 2 * c].reshape(th * sw, c)
-        v_ref[0, :, s * sw : (s + 1) * sw, :] = qkv[:, :, 2 * c :].astype(v_ref.dtype)
-        g = g + jax.lax.dot_general(q, k, (((0,), (0,)), ((), ())), preferred_element_type=f32)
-        qs = qs + jnp.sum(q * q, axis=0)
-        ks = ks + jnp.sum(k * k, axis=0)
+    if sw == w:
+        # full-width fast path — the A/B-measured winner body, with q/k/v as
+        # THREE sequential C-wide dot+dwconv passes: the depthwise conv is
+        # channel-independent, so chunking never materializes the 3C map —
+        # peak fat drops ~3× and the measured th=16 deep-level tilings fit
+        # VMEM with real headroom (the monolithic-3C variant OOMed the
+        # compiler at 16.45M/16M on scheduling luck).  Width stays exactly W:
+        # a +2-column padded variant measured 2.4× slower (sublane-alignment
+        # relayouts — PARITY "MDTA big-shape A/B").
+        def _proj_dw(lo, hi):
+            t = jnp.dot(ln, wqkv_ref[:, lo:hi].astype(f32), preferred_element_type=f32)
+            return _dwconv3x3(t.reshape(hp, w, hi - lo),
+                              wdwq_ref[:, :, lo:hi].astype(f32), valid)[1 : th + 1]
+
+        q = _proj_dw(0, c).reshape(th * w, c)
+        k = _proj_dw(c, 2 * c).reshape(th * w, c)
+        v_ref[0] = _proj_dw(2 * c, 3 * c).astype(v_ref.dtype)
+        g = jax.lax.dot_general(q, k, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+        qs = jnp.sum(q * q, axis=0)
+        ks = jnp.sum(k * k, axis=0)
+    else:
+        # column slabs (opt-in, DCPT_TPU_MDTA_SLABS): the fat 3C-wide qkv
+        # map only ever exists one slab at a time
+        lnp = _pad_cols(ln.reshape(hp, w, c))  # (hp, W+2, C) — C-wide, cheap
+        g = jnp.zeros((c, c), f32)
+        qs = jnp.zeros((c,), f32)
+        ks = jnp.zeros((c,), f32)
+        for s in range(w // sw):
+            xs = lnp[:, s * sw : s * sw + sw + 2]  # static slice, 1-col halos
+            t = jnp.dot(xs.reshape(hp * (sw + 2), c), wqkv_ref[:].astype(f32),
+                        preferred_element_type=f32).reshape(hp, sw + 2, 3 * c)
+            qkv = _dwconv3x3(t, wdwq_ref[:].astype(f32), valid)[1 : th + 1, 1 : sw + 1]
+            q = qkv[:, :, :c].reshape(th * sw, c)
+            k = qkv[:, :, c : 2 * c].reshape(th * sw, c)
+            v_ref[0, :, s * sw : (s + 1) * sw, :] = qkv[:, :, 2 * c :].astype(v_ref.dtype)
+            g = g + jax.lax.dot_general(q, k, (((0,), (0,)), ((), ())), preferred_element_type=f32)
+            qs = qs + jnp.sum(q * q, axis=0)
+            ks = ks + jnp.sum(k * k, axis=0)
 
     qs = jnp.broadcast_to(qs[None], (8, c))
     ks = jnp.broadcast_to(ks[None], (8, c))
@@ -217,22 +239,38 @@ def _p2_kernel(x_ref, xh_ref, v_ref, vh_ref, attn_ref, wproj_ref,
     y = xwin.reshape(hp * w, c) + jnp.dot(out, wproj_ref[:].astype(f32), preferred_element_type=f32)
 
     ln2 = _ln_channel(y, n2w_ref[0].astype(f32), n2b_ref[0].astype(f32), eps, ln_bias)
-    lnp = _pad_cols(ln2.reshape(hp, w, c))
-    yin = y.reshape(hp, w, c)
     f2 = win_ref.shape[1] // 2
     row = jax.lax.broadcasted_iota(jnp.int32, (hp, 1, 1), 0)
     valid = ~(((row == 0) & (it == 0)) | ((row == hp - 1) & (it == n_t - 1)))
-    # the fat 2F-wide GDFN map only ever exists one column slab at a time
-    for s in range(w // sw):
-        ys = lnp[:, s * sw : s * sw + sw + 2]
-        t2 = jnp.dot(ys.reshape(hp * (sw + 2), c), win_ref[:].astype(f32),
-                     preferred_element_type=f32).reshape(hp, sw + 2, 2 * f2)
-        t2 = _dwconv3x3(t2, wdwf_ref[:].astype(f32), valid)[1 : th + 1, 1 : sw + 1]
-        t2 = t2.reshape(th * sw, 2 * f2)
-        gated = _gelu_exact(t2[:, :f2]) * t2[:, f2:]
+    if sw == w:
+        # full-width fast path, GDFN gate halves as two sequential F-wide
+        # passes (depthwise conv is channel-independent — see _p1_kernel)
+        def _proj_dw(lo, hi):
+            t = jnp.dot(ln2, win_ref[:, lo:hi].astype(f32), preferred_element_type=f32)
+            return _dwconv3x3(t.reshape(hp, w, hi - lo),
+                              wdwf_ref[:, :, lo:hi].astype(f32), valid)[1 : th + 1]
+
+        ta = _proj_dw(0, f2).reshape(th * w, f2)
+        tb = _proj_dw(f2, 2 * f2).reshape(th * w, f2)
+        gated = _gelu_exact(ta) * tb
         out2 = jnp.dot(gated, wout_ref[:].astype(f32), preferred_element_type=f32)
-        z = yin[1 : th + 1, s * sw : (s + 1) * sw].reshape(th * sw, c) + out2
-        z_ref[0, :, s * sw : (s + 1) * sw, :] = z.reshape(th, sw, c).astype(z_ref.dtype)
+        z = y.reshape(hp, w, c)[1 : th + 1].reshape(th * w, c) + out2
+        z_ref[0] = z.reshape(th, w, c).astype(z_ref.dtype)
+    else:
+        # column slabs (opt-in): the fat 2F-wide GDFN map only ever exists
+        # one slab at a time
+        lnp = _pad_cols(ln2.reshape(hp, w, c))
+        yin = y.reshape(hp, w, c)
+        for s in range(w // sw):
+            ys = lnp[:, s * sw : s * sw + sw + 2]
+            t2 = jnp.dot(ys.reshape(hp * (sw + 2), c), win_ref[:].astype(f32),
+                         preferred_element_type=f32).reshape(hp, sw + 2, 2 * f2)
+            t2 = _dwconv3x3(t2, wdwf_ref[:].astype(f32), valid)[1 : th + 1, 1 : sw + 1]
+            t2 = t2.reshape(th * sw, 2 * f2)
+            gated = _gelu_exact(t2[:, :f2]) * t2[:, f2:]
+            out2 = jnp.dot(gated, wout_ref[:].astype(f32), preferred_element_type=f32)
+            z = yin[1 : th + 1, s * sw : (s + 1) * sw].reshape(th * sw, c) + out2
+            z_ref[0, :, s * sw : (s + 1) * sw, :] = z.reshape(th, sw, c).astype(z_ref.dtype)
 
 
 def pick_tiles(h: int, w: int, c: int, f2: int) -> tuple[int, int] | None:
@@ -247,12 +285,17 @@ def pick_tiles(h: int, w: int, c: int, f2: int) -> tuple[int, int] | None:
     the conv shifts) are budgeted at slab width, and the row tile may be
     any divisor of h.  Shapes that still exceed budget take the XLA path."""
     lane = lambda d: -(-d // 128) * 128  # noqa: E731
-    # Real v5e scoped-vmem limit is 16 MB and this formula undercounts true
-    # usage by ~1.37× (measured: a 12.09 MB estimate compiled to a 16.62 MB
-    # allocation and OOMed).  10.5 MB keeps every A/B-measured 128px config
-    # (max estimate 10.03 MB) and rejects the OOM shape.
+    # Real v5e scoped-vmem limit is 16 MB.  The fat dot+dwconv maps are
+    # channel-chunked in the kernels (q/k/v and the two GDFN halves each a
+    # separate C- or F-wide pass — the dwconv shift pipeline holds ~4 live
+    # copies of ONE chunk, never the 3C/2F map; the monolithic variant's
+    # unbudgeted shift copies OOMed the compiler at 16.45M/16M on scheduling
+    # luck).  5×lane(max(c,F)) covers the 4 shift copies + one retained
+    # chunk; 10.5 MB budget keeps the worst observed estimate-error clear of
+    # the cliff and reproduces the A/B-measured tilings (th=8,16,16,16 at
+    # the 128px levels).
     budget = int(10.5 * 1024 * 1024)
-    per_row = 4 * w * (6 * lane(c) + 2 * lane(2 * f2) + lane(3 * c))
+    per_row = 4 * w * (6 * lane(c) + 5 * lane(max(c, f2)))
     # th ≥ 8 is the measured-WINNER region (the 2.1×/1.7× 128px-class
     # configs, ≤20% halo overhead).  th=4 full-width and the column slabs
     # below reach the big eval geometries (256/384px tiles, 488×328 whole
