@@ -276,14 +276,12 @@ def _p2_kernel(x_ref, xh_ref, v_ref, vh_ref, attn_ref, wproj_ref,
 def pick_tiles(h: int, w: int, c: int, f2: int) -> tuple[int, int] | None:
     """(row tile, column slab) for the two-phase kernel.
 
-    First the round-3 full-width rule (~12 MB with the fat 3C/2F maps at
-    full width) — the A/B-measured configurations (128px levels) keep their
-    exact tiling.  Where that returns None (real eval shapes: 481×321
-    Rain100L, tiled 256–384px inference, GoPro levels) fall back to column
-    slabs: the C-wide arrays (x/v/y/LN maps + halo concats, ≤8 live) stay
-    full-width resident, the fat slab temporaries (~2 live copies through
-    the conv shifts) are budgeted at slab width, and the row tile may be
-    any divisor of h.  Shapes that still exceed budget take the XLA path."""
+    Default: the full-width rule below, restricted to the measured-winner
+    region — matching shapes get the A/B-measured tilings, everything else
+    returns None (XLA path).  With DCPT_TPU_MDTA_SLABS=1 the measured-loser
+    big-shape region opens up: th=4 full width, then column slabs (C-wide
+    arrays full-width resident, fat temporaries budgeted at slab width,
+    row tile any divisor of h)."""
     lane = lambda d: -(-d // 128) * 128  # noqa: E731
     # Real v5e scoped-vmem limit is 16 MB.  The fat dot+dwconv maps are
     # channel-chunked in the kernels (q/k/v and the two GDFN halves each a
