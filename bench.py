@@ -103,7 +103,41 @@ def _enable_compile_cache() -> None:
         pass
 
 
+def _tpu_preflight(timeout_s: int = 300) -> bool:
+    """Probe device init + one tiny compile in a SUBPROCESS with a timeout.
+
+    A dead axon tunnel makes ``jax.devices()`` hang forever in-process (it
+    cannot be interrupted from a watchdog thread); probing in a child keeps
+    this bench able to fail fast with a diagnostic JSON line instead of
+    hanging the driver."""
+    import subprocess
+    import sys
+
+    probe = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((8, 128), jnp.float32);"
+        "import numpy as np; np.asarray(x @ x.T); print('ok')"
+    )
+    try:
+        r = subprocess.run([sys.executable, "-c", probe], timeout=timeout_s,
+                           capture_output=True, text=True)
+        return r.returncode == 0 and "ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    if not _tpu_preflight():
+        import json
+
+        print(json.dumps({
+            "metric": "nafnet_w64_128px_fp32_saturated_inference_throughput",
+            "value": 0.0, "unit": "Megapixels/sec/chip", "vs_baseline": 0.0,
+            "extra": {"error": "accelerator unreachable: device init/compile probe "
+                               "timed out (dead axon tunnel?) — no measurement taken"},
+        }))
+        return
+
     import jax
     import jax.numpy as jnp
 

@@ -40,12 +40,14 @@ class ChannelLayerNorm5(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         weight = self.param("weight", nn.initializers.ones, (self.dim,))
-        mu = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+        # statistics in fp32 under mixed precision (see arch_util.LayerNorm2d)
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
         if self.bias:
             bias = self.param("bias", nn.initializers.zeros, (self.dim,))
-            return (x - mu) * jax.lax.rsqrt(var + 1e-5) * weight + bias
-        return x * jax.lax.rsqrt(var + 1e-5) * weight
+            return ((xf - mu) * jax.lax.rsqrt(var + 1e-5)).astype(x.dtype) * weight + bias
+        return (xf * jax.lax.rsqrt(var + 1e-5)).astype(x.dtype) * weight
 
 
 class PromptTransformerBlock(nn.Module):

@@ -309,17 +309,22 @@ class BaseModel:
 
         keep = (self.opt.get("logger") or {}).get("keep_checkpoints") if self._is_master() else None
         if keep:
+            import shutil
+
             root = self.opt["path"]["training_states"]
             states = sorted(
                 (f for f in os.listdir(root) if f.endswith(".state")),
                 key=lambda f: float(f.split(".state")[0]),
             )
-            # the save just launched is still in flight (not yet listed):
-            # it counts toward the retention budget
+            # the save just launched is still in flight (not yet listed): it
+            # counts toward the retention budget, but the newest COMMITTED
+            # state must survive until the in-flight write commits — if the
+            # host dies mid-write there has to be a durable state to resume
+            # from.  (keep=1 therefore over-retains one state dir until the
+            # next save call prunes it.)
             in_flight = 0 if f"{current_iter}.state" in states else 1
-            for old in states[: -(keep - in_flight)] if keep > in_flight else states:
-                import shutil
-
+            keep_committed = max(keep - in_flight, 1)
+            for old in states[:-keep_committed]:
                 shutil.rmtree(osp.join(root, old), ignore_errors=True)
 
     def resume_training_state(self, state_path: str) -> dict:

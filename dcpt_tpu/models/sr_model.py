@@ -274,7 +274,20 @@ class SRModel(BaseModel):
         """
         from ..parallel.mesh import get_default_mesh
         from ..parallel.spatial import spatial_sharded_apply
+        from ..utils.dist_util import get_dist_info
 
+        _, world_size = get_dist_info()
+        if self.opt.get("dist") and world_size > 1:
+            # the shard_map/psum below is a GLOBAL collective: under default
+            # dist_validation only rank 0 evaluates (the others never enter →
+            # deadlock), and dist_eval strides hosts across different images
+            # (mismatched psums).  spatial_cp is a single-process multi-chip
+            # feature; multi-host huge-image inference needs a dedicated
+            # every-rank-same-image path that does not exist.
+            raise ValueError(
+                "val.spatial_cp is not supported under multi-process dist — "
+                "run spatial context parallelism from a single host process "
+                "spanning the mesh (it shard_maps over the local mesh)")
         mesh = get_default_mesh(self.opt)
         axis = cp.get("axis", "data")
         halo = int(cp["halo"])

@@ -24,10 +24,12 @@ _MAX_C = 512
 
 def ln_proj_ref(x, ln_w, ln_b, w, eps: float, biasfree: bool):
     """jnp reference over (rows, c) → (rows, c_out); ln_b is zeros when biasfree."""
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    # fp32 LN statistics (== archs ChannelLayerNorm; twin is the train graph)
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
     rs = jax.lax.rsqrt(var + eps)
-    ln = (x * rs) * ln_w if biasfree else ((x - mu) * rs) * ln_w + ln_b
+    ln = (xf * rs).astype(x.dtype) * ln_w if biasfree else ((xf - mu) * rs).astype(x.dtype) * ln_w + ln_b
     return ln @ w
 
 

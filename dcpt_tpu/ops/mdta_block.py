@@ -43,6 +43,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .erf_gelu import gelu_exact as _gelu_exact  # shared with window_attention
 from .naf_block import _halo_pairs, _shift_cols, _shift_rows
 
 
@@ -56,16 +57,6 @@ def _ln_channel(x2, w, b, eps, ln_bias):
     return x2 * jax.lax.rsqrt(var + eps) * w
 
 
-def _gelu_exact(x):
-    """Exact-erf GELU via the Abramowitz–Stegun 7.1.26 rational erf
-    (|err| ≤ 1.5e-7; Pallas TPU lowers neither erf nor erfc)."""
-    z = x * 0.7071067811865476
-    az = jnp.abs(z)
-    t = 1.0 / (1.0 + 0.3275911 * az)
-    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429))))
-    erf_abs = 1.0 - poly * jnp.exp(-az * az)
-    erf = jnp.where(z >= 0, erf_abs, -erf_abs)
-    return 0.5 * x * (1.0 + erf)
 
 
 def _dwconv3x3(t, wdw, valid):
@@ -311,8 +302,7 @@ def pick_tiles(h: int, w: int, c: int, f2: int) -> tuple[int, int] | None:
         return None
     budget = 10 * 1024 * 1024
     fat = 2 * max(2 * lane(2 * f2), lane(3 * c))
-    ths = [t for t in (64, 32, 16, 8, 4, 2, 1) if h % t == 0] or [
-        t for t in range(min(h, 64), 0, -1) if h % t == 0]
+    ths = [t for t in (64, 32, 16, 8, 4, 2, 1) if h % t == 0]  # 1 divides all h
     sws = [s for s in (512, 256, 128, 64, 32) if s < w and w % s == 0] or [
         s for s in range(min(w - 1, 512), 15, -1) if w % s == 0]
     for th in ths:

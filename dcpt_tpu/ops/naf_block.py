@@ -68,9 +68,11 @@ def naf_block_ref(x, n1w, n1b, w1, b1, wdw, bdw, wsca, bsca, w3, b3, beta,
     att = _conv1x1(pooled, wsca, bsca)
     u = _conv1x1(g * att, w3, b3)
     y = x + u * beta
-    mu = jnp.mean(y, axis=-1, keepdims=True)
-    var = jnp.mean((y - mu) ** 2, axis=-1, keepdims=True)
-    ln2 = (y - mu) * jax.lax.rsqrt(var + eps) * n2w + n2b
+    # fp32 LN statistics (== archs LayerNorm2d; this twin is the train graph)
+    yf = y.astype(jnp.float32)
+    mu = jnp.mean(yf, axis=-1, keepdims=True)
+    var = jnp.mean((yf - mu) ** 2, axis=-1, keepdims=True)
+    ln2 = ((yf - mu) * jax.lax.rsqrt(var + eps)).astype(y.dtype) * n2w + n2b
     h = _conv1x1(ln2, w4, b4)
     h1, h2 = jnp.split(h, 2, axis=-1)
     out = _conv1x1(h1 * h2, w5, b5)
@@ -99,33 +101,14 @@ def _shift_cols(t, dx):
 
 def _p1_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, wdw_ref, bdw_ref,
                g_ref, s_ref, *, eps: float, th: int):
+    """v1 phase 1: the shared prefix on an overlapped (1, 1, th+2, W, C)
+    input block, spilling the gated map (v2 instead recomputes it in P2)."""
     f32 = jnp.float32
-    _, _, hp, w, c = x_ref.shape  # (1, 1, th+2, W, C)
-    dw = w1_ref.shape[1]
     it = pl.program_id(1)
     n_t = pl.num_programs(1)
-
-    x = x_ref[0, 0].astype(f32).reshape(hp * w, c)
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
-    ln = (x - mu) * jax.lax.rsqrt(var + eps) * lnw_ref[0].astype(f32) + lnb_ref[0].astype(f32)
-    t = (jnp.dot(ln, w1_ref[:].astype(f32), preferred_element_type=f32)
-         + b1_ref[0].astype(f32)).reshape(hp, w, dw)
-
-    # out-of-image halo rows must be ZERO before the dwconv (lax zero padding):
-    # tile 0's top halo row and tile n-1's bottom halo row lie outside the map
-    row = jax.lax.broadcasted_iota(jnp.int32, (hp, 1, 1), 0)
-    valid = ~(((row == 0) & (it == 0)) | ((row == hp - 1) & (it == n_t - 1)))
-    t = jnp.where(valid, t, 0.0)
-
-    acc = jnp.broadcast_to(bdw_ref[0].astype(f32)[None, None, :], (hp, w, dw))
-    for dy in (-1, 0, 1):
-        ty = _shift_rows(t, dy)
-        for dx in (-1, 0, 1):
-            tap = wdw_ref[1 - dy, 1 - dx].astype(f32)
-            acc = acc + _shift_cols(ty, dx) * tap[None, None, :]
-    inner = acc[1 : th + 1]  # (th, W, DW)
-    g = inner[:, :, : dw // 2] * inner[:, :, dw // 2 :]
+    g = _prefix_tile(x_ref[0, 0].astype(f32), lnw_ref[0].astype(f32), lnb_ref[0].astype(f32),
+                     w1_ref[:].astype(f32), b1_ref[0].astype(f32),
+                     wdw_ref[:].astype(f32), bdw_ref[0].astype(f32), eps, th, it, n_t)
     g_ref[0, 0] = g.astype(g_ref.dtype)
     # (8, d2) block: TPU tiling needs the 2nd-to-last block dim 8-divisible
     s_ref[0, 0] = jnp.broadcast_to(jnp.sum(g, axis=(0, 1))[None], (8, g.shape[-1]))

@@ -25,9 +25,11 @@ _MAX_C = 512
 
 def naf_ffn_ref(y, ln_w, ln_b, w4, b4, w5, b5, gamma, eps: float = 1e-6):
     """jnp reference over (rows, c) tensors."""
-    mu = jnp.mean(y, axis=-1, keepdims=True)
-    var = jnp.mean((y - mu) ** 2, axis=-1, keepdims=True)
-    ln = (y - mu) * jax.lax.rsqrt(var + eps) * ln_w + ln_b
+    # fp32 LN statistics (== archs LayerNorm2d; this twin is the train graph)
+    yf = y.astype(jnp.float32)
+    mu = jnp.mean(yf, axis=-1, keepdims=True)
+    var = jnp.mean((yf - mu) ** 2, axis=-1, keepdims=True)
+    ln = ((yf - mu) * jax.lax.rsqrt(var + eps)).astype(y.dtype) * ln_w + ln_b
     h = ln @ w4 + b4
     h1, h2 = jnp.split(h, 2, axis=-1)
     out = (h1 * h2) @ w5 + b5

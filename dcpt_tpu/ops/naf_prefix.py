@@ -31,9 +31,11 @@ _VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 
 def naf_prefix_ref(x, ln_w, ln_b, w1, b1, wdw, bdw, eps: float = 1e-6):
     """jnp reference on (B, H, W, C): LN → 1×1 (C→DW) → depthwise 3×3 → gate."""
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
-    t = (x - mu) * jax.lax.rsqrt(var + eps) * ln_w + ln_b
+    # fp32 LN statistics (== archs LayerNorm2d; this twin is the train graph)
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    t = ((xf - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype) * ln_w + ln_b
     # 1×1 expand as a CONV, not an einsum: on v5e any dot/einsum producer
     # feeding the grouped dwconv below compiles+runs ~10× slower (PARITY.md
     # "NAFNet kernel A/B (round 2)"); this ref is what differentiated traces

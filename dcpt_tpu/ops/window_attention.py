@@ -30,9 +30,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from .erf_gelu import gelu_exact
 
 
 def window_attention_ref(x, wqkv, bqkv, wproj, bproj, num_heads: int, ln: tuple | None = None):
@@ -43,10 +44,13 @@ def window_attention_ref(x, wqkv, bqkv, wproj, bproj, num_heads: int, ln: tuple 
     hd = c // num_heads
     scale = hd**-0.5
     if ln is not None:
+        # statistics in fp32 under mixed precision (== archs TorchLayerNorm;
+        # this twin IS the bf16 train-step graph via the custom-VJP delegation)
         ln_w, ln_b, eps = ln
-        mu = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
-        x = (x - mu) * jax.lax.rsqrt(var + eps) * ln_w + ln_b
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+        x = ((xf - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype) * ln_w + ln_b
     qkv = x @ wqkv + bqkv  # (nw, n, 3c)
     qkv = qkv.reshape(nw, n, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0], qkv[1], qkv[2]
@@ -197,9 +201,12 @@ def swin_block_ref(x, ln1_w, ln1_b, wqkv, bqkv, wproj, bproj, ln2_w, ln2_b,
                    wfc1, bfc1, wfc2, bfc2, num_heads: int, eps: float = 1e-5):
     """jnp twin over (NW, N, C) windows of the ROLLED raw feature map."""
     def ln(t, w, b):
-        mu = jnp.mean(t, axis=-1, keepdims=True)
-        var = jnp.mean((t - mu) ** 2, axis=-1, keepdims=True)
-        return (t - mu) * jax.lax.rsqrt(var + eps) * w + b
+        # fp32 statistics (== archs TorchLayerNorm; this twin IS the bf16
+        # train-step graph via the custom-VJP delegation)
+        tf = t.astype(jnp.float32)
+        mu = jnp.mean(tf, axis=-1, keepdims=True)
+        var = jnp.mean((tf - mu) ** 2, axis=-1, keepdims=True)
+        return ((tf - mu) * jax.lax.rsqrt(var + eps)).astype(t.dtype) * w + b
 
     attn = window_attention_ref(ln(x, ln1_w, ln1_b), wqkv, bqkv, wproj, bproj, num_heads)
     y = x + attn
@@ -245,18 +252,7 @@ def _block_kernel(
         + bproj_ref[0].astype(f32)
     yn = ln(y, l2w_ref, l2b_ref)
     hmid = jnp.dot(yn, wfc1_ref[:].astype(f32), preferred_element_type=f32) + bfc1_ref[0].astype(f32)
-    # exact-erf GELU: Pallas TPU implements neither erf nor erfc, so use the
-    # Abramowitz–Stegun 7.1.26 rational erf (|err| ≤ 1.5e-7 — below the fp32
-    # noise floor, so numerically identical to the torch exact GELU here)
-    z = hmid * np.float32(1.0 / np.sqrt(2.0))
-    az = jnp.abs(z)
-    tt = 1.0 / (1.0 + np.float32(0.3275911) * az)
-    poly = ((((np.float32(1.061405429) * tt + np.float32(-1.453152027)) * tt
-              + np.float32(1.421413741)) * tt + np.float32(-0.284496736)) * tt
-            + np.float32(0.254829592)) * tt
-    erf_abs = 1.0 - poly * jnp.exp(-az * az)
-    erf = jnp.where(z >= 0, erf_abs, -erf_abs)
-    hmid = 0.5 * hmid * (1.0 + erf)
+    hmid = gelu_exact(hmid)  # exact-erf GELU, Pallas-lowerable (erf_gelu.py)
     z = y + jnp.dot(hmid, wfc2_ref[:].astype(f32), preferred_element_type=f32) + bfc2_ref[0].astype(f32)
     out_ref[:] = z.reshape(t, n, c).astype(out_ref.dtype)
 

@@ -1,5 +1,6 @@
 """Pallas kernel parity vs jnp compositions (interpret mode on CPU)."""
 
+import math
 import numpy as np
 import pytest
 
@@ -691,3 +692,101 @@ class TestMDTABlockFused:
         finally:
             enable_pallas(False)
         np.testing.assert_allclose(np.asarray(fused), np.asarray(base), atol=5e-5)
+
+
+class TestBf16LayerNormStats:
+    """Mixed-precision LN contract: statistics are computed in fp32 even for
+    bf16 tensors — in the arch LayerNorm modules AND in the kernels' jnp
+    twins (the twins ARE the bf16 train-step graph via custom-VJP _fwd
+    delegation).  The probe uses mean-8 inputs: a bf16 mean carries ~ulp(8)/2
+    = 0.016 rounding, i.e. ~6% of the 0.25 feature scale after
+    normalisation, while the fp32-stat path is exact to ~1e-3."""
+
+    OFFSET, SCALE = 8.0, 0.25
+
+    def _probe(self, rng, shape):
+        x64 = self.OFFSET + self.SCALE * rng.standard_normal(shape)
+        xb = jnp.asarray(x64, jnp.float32).astype(jnp.bfloat16)
+        return xb, np.asarray(xb.astype(jnp.float32), np.float64)
+
+    @staticmethod
+    def _ln64(x64, eps, centred_out=True):
+        mu = x64.mean(-1, keepdims=True)
+        var = ((x64 - mu) ** 2).mean(-1, keepdims=True)
+        top = (x64 - mu) if centred_out else x64
+        return top / np.sqrt(var + eps)
+
+    @pytest.mark.parametrize(
+        "make",
+        [
+            pytest.param(lambda c: ("arch_util", "LayerNorm2d", dict(channels=c), 1e-6, True), id="LayerNorm2d"),
+            pytest.param(lambda c: ("swinir_arch", "TorchLayerNorm", dict(dim=c), 1e-5, True), id="TorchLayerNorm"),
+            # (the biasfree branches share these classes' mu/var code path but
+            # return UN-centred ~offset/std-scale outputs whose bf16 store
+            # rounding alone exceeds any stats-sensitive tolerance — the
+            # centred variants are the meaningful probe)
+            pytest.param(lambda c: ("restormer_arch", "ChannelLayerNorm", dict(dim=c, bias=True), 1e-6, True), id="ChannelLayerNorm"),
+            pytest.param(lambda c: ("promptir_arch", "ChannelLayerNorm5", dict(dim=c, bias=True), 1e-5, True), id="ChannelLayerNorm5"),
+        ],
+    )
+    def test_arch_layernorms_fp32_stats(self, rng, make):
+        import importlib
+
+        c = 24
+        modname, clsname, kwargs, eps, centred = make(c)
+        cls = getattr(importlib.import_module(f"dcpt_tpu.archs.{modname}"), clsname)
+        ln = cls(**kwargs)
+        xb, x64 = self._probe(rng, (2, 4, 6, c))
+        params = ln.init(jax.random.PRNGKey(0), xb)  # weight=1, bias=0 init
+        got = np.asarray(ln.apply(params, xb).astype(jnp.float32), np.float64)
+        want = self._ln64(x64, eps, centred)
+        # fp32 stats: only the output's bf16 store rounds (≲0.5% of unit
+        # scale); bf16 stats would sit at ~6% — an order of magnitude out
+        assert np.abs(got - want).max() < 2e-2
+
+    def test_swin_block_twin_fp32_stats(self, rng):
+        """swin_block_ref with identity MLP and zeroed attention reduces to
+        x + GELU(LN2(x)) — exposing the twin's LN numerics directly."""
+        from dcpt_tpu.ops.window_attention import swin_block_ref
+
+        nw, n, c = 2, 16, 24
+        xb, x64 = self._probe(rng, (nw, n, c))
+        zc, ic = jnp.zeros((c,), jnp.bfloat16), jnp.eye(c, dtype=jnp.bfloat16)
+        out = swin_block_ref(
+            xb, jnp.ones((c,), jnp.bfloat16), zc,          # ln1
+            jnp.zeros((c, 3 * c), jnp.bfloat16), jnp.zeros((3 * c,), jnp.bfloat16),  # qkv -> 0
+            jnp.zeros((c, c), jnp.bfloat16), zc,            # proj -> attn == 0
+            jnp.ones((c,), jnp.bfloat16), zc,               # ln2
+            ic, zc, ic, zc,                                  # identity MLP
+            num_heads=4,
+        )
+        got = np.asarray(out.astype(jnp.float32), np.float64) - x64
+        ln = self._ln64(x64, 1e-5)
+        want = 0.5 * ln * (1.0 + np.vectorize(math.erf)(ln / np.sqrt(2.0)))
+        # the twin's final residual add stores in bf16 at the offset-8 scale
+        # (ulp 0.0625 > the stats signal) — push the expectation through the
+        # same store, then allow one-ulp tie-rounding from the intermediate
+        # bf16 stores on a tiny fraction of elements.  bf16 STATISTICS would
+        # shift most elements by 1–3 grid steps (mean error ~0.17 σ), so this
+        # still discriminates.
+        want_q = np.asarray(
+            jnp.asarray(x64 + want, jnp.float32).astype(jnp.bfloat16).astype(jnp.float32),
+            np.float64) - x64
+        diff = np.abs(got - want_q)
+        assert diff.max() <= 0.0625 + 1e-9
+        assert (diff > 1e-9).mean() < 0.02
+
+    def test_naf_twin_fp32_stats(self, rng):
+        """naf_prefix_ref with [I;I] expand and a centre-tap dwconv reduces to
+        LN(x)² — exposing the twin's LN numerics."""
+        from dcpt_tpu.ops.naf_prefix import naf_prefix_ref
+
+        c = 16
+        xb, x64 = self._probe(rng, (1, 4, 6, c))
+        w1 = jnp.concatenate([jnp.eye(c), jnp.eye(c)], axis=1).astype(jnp.bfloat16)
+        wdw = jnp.zeros((3, 3, 2 * c), jnp.float32).at[1, 1].set(1.0).astype(jnp.bfloat16)
+        g = naf_prefix_ref(xb, jnp.ones((c,), jnp.bfloat16), jnp.zeros((c,), jnp.bfloat16),
+                           w1, jnp.zeros((2 * c,), jnp.bfloat16), wdw, jnp.zeros((2 * c,), jnp.bfloat16))
+        got = np.asarray(g.astype(jnp.float32), np.float64)
+        ln = self._ln64(x64, 1e-6)
+        assert np.abs(got - ln**2).max() < 6e-2  # ln² doubles the relative error

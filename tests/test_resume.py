@@ -86,6 +86,34 @@ class TestTrainingStateRoundtrip:
         states = [f for f in os.listdir(opt["path"]["training_states"]) if f.endswith(".state")]
         assert sorted(states) == ["2.state", "3.state"]
 
+    def test_retention_never_drops_last_durable_state(self, tmp_path):
+        """keep_checkpoints=1: while the new async save is still in flight the
+        newest COMMITTED state must survive pruning — a crash mid-write must
+        always leave a resumable state on disk (the pre-fix code deleted every
+        committed state the moment the new save launched)."""
+        from dcpt_tpu.models.base_model import BaseModel
+
+        states_dir = tmp_path / "states"
+        bm = BaseModel({
+            "is_train": True, "rank": 0, "dist": False,
+            "path": {"training_states": str(states_dir)},
+            "logger": {"keep_checkpoints": 1},
+        })
+        # large enough that the background commit is still in flight when
+        # save_training_state returns and prunes
+        big = {f"leaf_{i:04d}": np.ones((1024, 1024), np.float32) for i in range(16)}
+        bm.save_training_state(0, 10, {"opt_state_g": dict(big)})
+        bm.finalize_checkpoints()  # 10.state committed
+        bm.save_training_state(0, 20, {"opt_state_g": dict(big)})
+        survivors = [f for f in os.listdir(states_dir) if f.endswith(".state")]
+        assert survivors, "no durable training state on disk during the async save"
+        bm.finalize_checkpoints()
+        # next cycle prunes the stale over-retained state
+        bm.save_training_state(0, 30, {"opt_state_g": dict(big)})
+        bm.finalize_checkpoints()
+        survivors = sorted(f for f in os.listdir(states_dir) if f.endswith(".state"))
+        assert "30.state" in survivors and "10.state" not in survivors
+
     def test_async_state_save_does_not_block(self, tmp_path):
         """VERDICT r2 item 9: training-state saves ride orbax async — the call
         must return without waiting for the directory write.  Measured: a

@@ -301,6 +301,33 @@ class TestSpatialCPFromYml:
         interior = np.s_[:, 32:-32]
         assert np.abs(out_cp[interior] - full[interior]).max() < 1e-4
 
+    def test_spatial_cp_rejected_under_multiprocess_dist(self, rng):
+        """spatial_cp shard_maps a GLOBAL collective; under multi-process dist
+        with rank-gated validation the psums would deadlock — must raise."""
+        import pytest
+
+        from dcpt_tpu.models import build_model
+        from dcpt_tpu.utils import dist_util
+
+        net_g = {"type": "Restormer", "dim": 8, "num_blocks": [1, 1, 1, 1],
+                 "num_refinement_blocks": 1, "heads": [1, 1, 1, 1], "window_size": 8,
+                 "cp_axis": "data", "cp_halo": 32}
+        opt = {
+            "name": "cp_dist", "model_type": "SRModel", "scale": 1, "num_gpu": 4,
+            "manual_seed": 0, "is_train": False, "dist": True, "rank": 0, "world_size": 2,
+            "path": {}, "val": {"metrics": {}, "spatial_cp": {"halo": 32, "axis": "data"}},
+            "network_g": net_g,
+        }
+        model = build_model(opt)
+        model.feed_data({"lq": jnp.asarray(rng.random((1, 256, 16, 3)).astype(np.float32))})
+        orig = dist_util.get_dist_info
+        dist_util.get_dist_info = lambda: (0, 2)
+        try:
+            with pytest.raises(ValueError, match="spatial_cp.*dist"):
+                model.test()
+        finally:
+            dist_util.get_dist_info = orig
+
 
 class TestSpatialMDTA:
     def test_pixel_sharded_mdta_is_exact(self, rng):
