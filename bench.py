@@ -103,27 +103,38 @@ def _enable_compile_cache() -> None:
         pass
 
 
-def _tpu_preflight(timeout_s: int = 300) -> bool:
+def _tpu_preflight(timeout_s: int = 300, attempts: int = 3) -> bool:
     """Probe device init + one tiny compile in a SUBPROCESS with a timeout.
 
     A dead axon tunnel makes ``jax.devices()`` hang forever in-process (it
     cannot be interrupted from a watchdog thread); probing in a child keeps
     this bench able to fail fast with a diagnostic JSON line instead of
-    hanging the driver."""
+    hanging the driver.  Wedged tunnels have been observed to RECOVER within
+    minutes, so a single timed-out probe retries (with a pause) before the
+    bench declares the accelerator unreachable — a false negative zeroes the
+    round's scoring artifact."""
     import subprocess
     import sys
+    import time
 
     probe = (
         "import jax, jax.numpy as jnp;"
         "x = jnp.ones((8, 128), jnp.float32);"
         "import numpy as np; np.asarray(x @ x.T); print('ok')"
     )
-    try:
-        r = subprocess.run([sys.executable, "-c", probe], timeout=timeout_s,
-                           capture_output=True, text=True)
-        return r.returncode == 0 and "ok" in r.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    for attempt in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", probe], timeout=timeout_s,
+                               capture_output=True, text=True)
+            if r.returncode == 0 and "ok" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt < attempts - 1:
+            print(f"# preflight attempt {attempt + 1}/{attempts} failed; "
+                  "waiting for the tunnel to recover", file=sys.stderr)
+            time.sleep(120)
+    return False
 
 
 def main() -> None:
