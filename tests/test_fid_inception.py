@@ -1,8 +1,12 @@
 """FID InceptionV3 extractor: architecture, weight conversion, end-to-end FID
-(VERDICT r1 item 10).  No pretrained weights exist in this env, so fidelity is
-structural: the converter's key schema is the pytorch-fid/torchvision
-state_dict schema, verified by synthesizing a torch-style state_dict from the
-flax tree's own shapes and round-tripping it.
+(VERDICT r1 item 10).  No pretrained weights or torchvision exist in this env,
+so verification is two-fold: (1) structural — the converter's key schema is
+the pytorch-fid/torchvision state_dict schema, verified by synthesizing a
+torch-style state_dict from the flax tree's own shapes and round-tripping it;
+(2) numeric — ``tests/_torch_inception.py`` independently re-implements the
+published pytorch-fid architecture in torch, the SAME random state_dict is
+loaded into both implementations (strict key match), and the 2048-d pool3
+features must agree (``TestTorchMirrorNumericParity``).
 """
 
 import numpy as np
@@ -121,6 +125,65 @@ class TestWeightConversion:
         extractor = load_inception_extractor(str(dst), resize_input=False)
         feats = extractor(np.zeros((2, 299, 299, 3), np.float32))
         assert feats.shape == (2, 2048)
+
+
+class TestTorchMirrorNumericParity:
+    """Random weights → torch mirror vs flax extractor: features must agree.
+
+    Covers what the schema round-trip cannot: conv kernel transposes, VALID vs
+    torch implicit-zero padding, stride phase on odd sizes (299 trunk), the
+    count_include_pad=False average pools, the Mixed_7c max-pool branch, BN
+    folding numerics, the bilinear 299-resize, and the [0,1]→[-1,1] map.
+    """
+
+    def _both_nets(self, resize_input, normalize_input):
+        import sys
+
+        import torch
+
+        sys.path.insert(0, "scripts")
+        from convert_inception_weights import convert_state_dict
+
+        from _torch_inception import TorchInceptionV3Features
+        from dcpt_tpu.archs.inception_arch import InceptionV3Features
+
+        flax_net = InceptionV3Features(resize_input=resize_input, normalize_input=normalize_input)
+        init_params = flax_net.init(jax.random.PRNGKey(3), jnp.zeros((1, 299, 299, 3)))["params"]
+        sd = _to_torch_state_dict(init_params)
+
+        torch_net = TorchInceptionV3Features(resize_input=resize_input, normalize_input=normalize_input)
+        # strict load: the mirror's module tree must produce EXACTLY the
+        # pytorch-fid key schema the converter consumes
+        missing, unexpected = torch_net.load_state_dict(
+            {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, strict=False
+        )
+        assert not unexpected, unexpected
+        assert all(k.endswith("num_batches_tracked") for k in missing), missing
+        torch_net.eval()
+
+        params = jax.tree_util.tree_map(jnp.asarray, convert_state_dict(sd))
+        return torch_net, flax_net, params
+
+    def _assert_features_match(self, torch_net, flax_net, params, x_nhwc):
+        import torch
+
+        with torch.no_grad():
+            want = torch_net(torch.from_numpy(x_nhwc.transpose(0, 3, 1, 2))).numpy()
+        got = np.asarray(flax_net.apply({"params": params}, jnp.asarray(x_nhwc)))
+        scale = max(1.0, float(np.abs(want).max()))
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3 * scale)
+
+    def test_pool3_features_match_at_299(self):
+        torch_net, flax_net, params = self._both_nets(False, False)
+        x = np.random.default_rng(7).random((2, 299, 299, 3), np.float32)
+        self._assert_features_match(torch_net, flax_net, params, x)
+
+    def test_resize_and_normalize_paths_match(self):
+        """reference defaults resize_input=True (fid.py:11) on non-299 input,
+        plus the normalize_input branch."""
+        torch_net, flax_net, params = self._both_nets(True, True)
+        x = np.random.default_rng(8).random((1, 96, 128, 3), np.float32)
+        self._assert_features_match(torch_net, flax_net, params, x)
 
 
 class TestFidEndToEnd:
