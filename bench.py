@@ -212,11 +212,18 @@ def main() -> None:
         fns = {}
         for mode in modes:
             enable_pallas(mode)
-            f = jax.jit(lambda p, x, _net=net: _net.apply({"params": p}, x)[0].astype(dtype))
-            np.asarray(f(p, x)[0, 0, 0, 0])  # trace+compile UNDER this mode
-            fns[mode] = f
+            try:
+                f = jax.jit(lambda p, x, _net=net: _net.apply({"params": p}, x)[0].astype(dtype))
+                np.asarray(f(p, x)[0, 0, 0, 0])  # trace+compile UNDER this mode
+                fns[mode] = f
+            except Exception as e:  # noqa: BLE001 — one dead path (e.g. a
+                # kernel compile OOM) must not zero the whole artifact; the
+                # surviving mode still publishes and the failure is recorded
+                extra[f"ab_error_{mode}"] = str(e)[:200]
         enable_pallas("off")
-        best = {mode: float("inf") for mode in modes}
+        if not fns:
+            return {mode: 0.0 for mode in modes}
+        best = {mode: float("inf") for mode in fns}
         for _ in range(reps):
             for mode, f in fns.items():
                 t0 = time.perf_counter()
@@ -225,9 +232,13 @@ def main() -> None:
                     y = f(p, y)
                 np.asarray(y[0, 0, 0, 0])
                 best[mode] = min(best[mode], (time.perf_counter() - t0) / iters)
-        return {mode: bs * size * size / 1e6 / dt for mode, dt in best.items()}
+        out = {mode: bs * size * size / 1e6 / dt for mode, dt in best.items()}
+        for mode in modes:
+            out.setdefault(mode, 0.0)  # compile-failed path → 0, not KeyError
+        return out
 
     extra: dict[str, float] = {}
+    headline = 0.0
 
     def progress(msg: str) -> None:
         # stderr so the stdout one-JSON-line contract stays clean; lets a
@@ -235,125 +246,142 @@ def main() -> None:
         # show WHERE it is
         print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
+    import contextlib
+
+    @contextlib.contextmanager
+    def section(name: str):
+        # one dead model section (kernel compile OOM, tunnel hiccup mid-run)
+        # must not abort the artifact — record and move on
+        progress(f"{name} section")
+        try:
+            yield
+        except Exception as e:  # noqa: BLE001
+            extra[f"section_{name}_error"] = str(e)[:200]
+            progress(f"{name} section FAILED: {e}")
+
     # ------------------------------------------------------------------
     # NAFNet (headline)
     # ------------------------------------------------------------------
-    progress("NAFNet section")
     naf = build_network(dict(NAFNET_OPT))
     naf_params = init_params(naf, SIZE)
 
-    # latency anchor (round-1 comparable) + per-path at bs1, interleaved min
-    ab = measure_ab(naf, naf_params, SIZE, 1, jnp.float32, modes=("off", "all"))
-    extra["nafnet_bs1_fp32_xla_mpix_s"] = round(ab["off"], 3)
-    extra["nafnet_bs1_fp32_pallas_mpix_s"] = round(ab["all"], 3)
+    naf_gflops = None
+    with section("nafnet"):
+        # latency anchor (round-1 comparable) + per-path at bs1, interleaved min
+        ab = measure_ab(naf, naf_params, SIZE, 1, jnp.float32, modes=("off", "all"))
+        extra["nafnet_bs1_fp32_xla_mpix_s"] = round(ab["off"], 3)
+        extra["nafnet_bs1_fp32_pallas_mpix_s"] = round(ab["all"], 3)
 
-    # saturated fp32 (headline) — both compute paths, interleaved min
-    ab = measure_ab(naf, naf_params, SIZE, 16, jnp.float32, modes=("off", "all"))
-    extra["nafnet_bs16_fp32_xla_mpix_s"] = round(ab["off"], 3)
-    extra["nafnet_bs16_fp32_pallas_mpix_s"] = round(ab["all"], 3)
-    headline = max(ab.values())
+        # saturated fp32 (headline) — both compute paths, interleaved min
+        ab = measure_ab(naf, naf_params, SIZE, 16, jnp.float32, modes=("off", "all"))
+        extra["nafnet_bs16_fp32_xla_mpix_s"] = round(ab["off"], 3)
+        extra["nafnet_bs16_fp32_pallas_mpix_s"] = round(ab["all"], 3)
+        headline = max(ab.values())
 
-    enable_pallas(False)
-    _, _, naf_gflops = measure(naf, naf_params, SIZE, 1, jnp.float32, iters=1, want_flops=True)
-    if naf_gflops:
-        # cost analysis is per bs=1 forward
-        extra["nafnet_fwd_gflop_128px"] = round(naf_gflops, 1)
-        extra["nafnet_fp32_achieved_tflops"] = round(headline * naf_gflops / (SIZE * SIZE / 1e6) / 1e3, 1)
+        enable_pallas(False)
+        _, _, naf_gflops = measure(naf, naf_params, SIZE, 1, jnp.float32, iters=1, want_flops=True)
+        if naf_gflops:
+            # cost analysis is per bs=1 forward
+            extra["nafnet_fwd_gflop_128px"] = round(naf_gflops, 1)
+            extra["nafnet_fp32_achieved_tflops"] = round(headline * naf_gflops / (SIZE * SIZE / 1e6) / 1e3, 1)
 
-    # bf16 saturated — the shipped default is XLA (the shallow-stage kernel
-    # measured a TIE across two A/B runs: +2%/−1%; kernel stays opt-in for
-    # bf16 — PARITY.md "NAFNet kernel A/B (round 3)").  The forced-kernel
-    # leg is still measured so a regression in either path stays visible.
-    from dcpt_tpu.archs import nafnet_arch as _na
+    with section("nafnet_bf16"):
+        # bf16 saturated — the shipped default is XLA (the shallow-stage kernel
+        # measured a TIE across two A/B runs: +2%/−1%; kernel stays opt-in for
+        # bf16 — PARITY.md "NAFNet kernel A/B (round 3)").  The forced-kernel
+        # leg is still measured so a regression in either path stays visible.
+        from dcpt_tpu.archs import nafnet_arch as _na
 
-    _na._NAF_BLOCK_MAXC = 256  # trace-time force so the "auto" leg kernels fire
-    ab = measure_ab(naf, naf_params, SIZE, 32, jnp.bfloat16, modes=("off", "auto"))
-    _na._NAF_BLOCK_MAXC = 0
-    extra["nafnet_bs32_bf16_xla_mpix_s"] = round(ab["off"], 3)
-    extra["nafnet_bs32_bf16_pallas_mpix_s"] = round(ab["auto"], 3)
-    mpix = max(ab.values())
-    extra["nafnet_bs32_bf16_mpix_s"] = round(mpix, 3)
-    if naf_gflops:
-        extra["nafnet_bf16_achieved_tflops"] = round(mpix * naf_gflops / (SIZE * SIZE / 1e6) / 1e3, 1)
-        extra["nafnet_bf16_mfu_pct_v5e"] = round(100 * mpix * naf_gflops / (SIZE * SIZE / 1e6) / 1e3 / 197.0, 1)
-    _, mpix, _ = measure(naf, naf_params, 256, 4, jnp.float32)
-    extra["nafnet_256px_bs4_fp32_mpix_s"] = round(mpix, 3)
+        _na._NAF_BLOCK_MAXC = 256  # trace-time force so the "auto" leg kernels fire
+        try:
+            ab = measure_ab(naf, naf_params, SIZE, 32, jnp.bfloat16, modes=("off", "auto"))
+        finally:
+            _na._NAF_BLOCK_MAXC = 0
+        extra["nafnet_bs32_bf16_xla_mpix_s"] = round(ab["off"], 3)
+        extra["nafnet_bs32_bf16_pallas_mpix_s"] = round(ab["auto"], 3)
+        mpix = max(ab.values())
+        extra["nafnet_bs32_bf16_mpix_s"] = round(mpix, 3)
+        if naf_gflops:
+            extra["nafnet_bf16_achieved_tflops"] = round(mpix * naf_gflops / (SIZE * SIZE / 1e6) / 1e3, 1)
+            extra["nafnet_bf16_mfu_pct_v5e"] = round(100 * mpix * naf_gflops / (SIZE * SIZE / 1e6) / 1e3 / 197.0, 1)
+        _, mpix, _ = measure(naf, naf_params, 256, 4, jnp.float32)
+        extra["nafnet_256px_bs4_fp32_mpix_s"] = round(mpix, 3)
 
     # ------------------------------------------------------------------
     # Restormer (shipped 5D config) — whole-TransformerBlock kernel is the
     # round-3 default (A/B 2.00× fp32 / 1.59× bf16 — PARITY "MDTA whole-block
     # kernel A/B"); both paths recorded so either regression stays visible
     # ------------------------------------------------------------------
-    progress("Restormer section")
-    rest = build_network(dict(RESTORMER_OPT))
-    rest_params = init_params(rest, SIZE)
-    enable_pallas(False)
-    _, _, rest_gflops = measure(rest, rest_params, SIZE, 1, jnp.float32, iters=1, want_flops=True)
-    ab = measure_ab(rest, rest_params, SIZE, 1, jnp.float32, modes=("off", "auto"))
-    extra["restormer_bs1_fp32_xla_mpix_s"] = round(ab["off"], 3)
-    extra["restormer_bs1_fp32_pallas_mpix_s"] = round(ab["auto"], 3)
-    extra["restormer_bs1_fp32_mpix_s"] = round(max(ab.values()), 3)
-    ab = measure_ab(rest, rest_params, SIZE, 8, jnp.float32, modes=("off", "auto"))
-    extra["restormer_bs8_fp32_xla_mpix_s"] = round(ab["off"], 3)
-    extra["restormer_bs8_fp32_pallas_mpix_s"] = round(ab["auto"], 3)
-    mpix = max(ab.values())
-    extra["restormer_bs8_fp32_mpix_s"] = round(mpix, 3)
-    if rest_gflops:
-        extra["restormer_fwd_gflop_128px"] = round(rest_gflops, 1)
-        extra["restormer_fp32_achieved_tflops"] = round(mpix * rest_gflops / (SIZE * SIZE / 1e6) / 1e3, 1)
-    ab = measure_ab(rest, rest_params, SIZE, 8, jnp.bfloat16, modes=("off", "auto"))
-    extra["restormer_bs8_bf16_xla_mpix_s"] = round(ab["off"], 3)
-    extra["restormer_bs8_bf16_pallas_mpix_s"] = round(ab["auto"], 3)
-    extra["restormer_bs8_bf16_mpix_s"] = round(max(ab.values()), 3)
+    with section("restormer"):
+        rest = build_network(dict(RESTORMER_OPT))
+        rest_params = init_params(rest, SIZE)
+        enable_pallas(False)
+        _, _, rest_gflops = measure(rest, rest_params, SIZE, 1, jnp.float32, iters=1, want_flops=True)
+        ab = measure_ab(rest, rest_params, SIZE, 1, jnp.float32, modes=("off", "auto"))
+        extra["restormer_bs1_fp32_xla_mpix_s"] = round(ab["off"], 3)
+        extra["restormer_bs1_fp32_pallas_mpix_s"] = round(ab["auto"], 3)
+        extra["restormer_bs1_fp32_mpix_s"] = round(max(ab.values()), 3)
+        ab = measure_ab(rest, rest_params, SIZE, 8, jnp.float32, modes=("off", "auto"))
+        extra["restormer_bs8_fp32_xla_mpix_s"] = round(ab["off"], 3)
+        extra["restormer_bs8_fp32_pallas_mpix_s"] = round(ab["auto"], 3)
+        mpix = max(ab.values())
+        extra["restormer_bs8_fp32_mpix_s"] = round(mpix, 3)
+        if rest_gflops:
+            extra["restormer_fwd_gflop_128px"] = round(rest_gflops, 1)
+            extra["restormer_fp32_achieved_tflops"] = round(mpix * rest_gflops / (SIZE * SIZE / 1e6) / 1e3, 1)
+        ab = measure_ab(rest, rest_params, SIZE, 8, jnp.bfloat16, modes=("off", "auto"))
+        extra["restormer_bs8_bf16_xla_mpix_s"] = round(ab["off"], 3)
+        extra["restormer_bs8_bf16_pallas_mpix_s"] = round(ab["auto"], 3)
+        extra["restormer_bs8_bf16_mpix_s"] = round(max(ab.values()), 3)
 
     # ------------------------------------------------------------------
     # SwinIR (verbatim test_SwinIR_5d network) — fused-kernel A/B (r2 item 1)
     # ------------------------------------------------------------------
-    progress("SwinIR section")
-    swin = build_network(dict(SWINIR_OPT))
-    swin_params = init_params(swin, SIZE)
-    for bs, size in ((1, 128), (4, 128), (1, 256)):
-        ab = measure_ab(swin, swin_params, size, bs, jnp.float32, modes=("off", "auto"), iters=6)
-        tag = f"swinir_{size}px_bs{bs}_fp32"
-        extra[f"{tag}_xla_mpix_s"] = round(ab["off"], 3)
-        extra[f"{tag}_pallas_mpix_s"] = round(ab["auto"], 3)
-    # bf16 A/B: "auto" routes through the v3 whole-block kernel (the round-3
-    # winner: bs4@128 1.43 vs 0.82 XLA — scripts/bench_swin_bf16.py matrix)
-    ab = measure_ab(swin, swin_params, SIZE, 4, jnp.bfloat16, modes=("off", "auto"), iters=6)
-    extra["swinir_128px_bs4_bf16_xla_mpix_s"] = round(ab["off"], 3)
-    extra["swinir_128px_bs4_bf16_pallas_mpix_s"] = round(ab["auto"], 3)
-    enable_pallas(False)
-    _, _, swin_gflops = measure(swin, swin_params, SIZE, 4, jnp.float32, iters=1, want_flops=True)
-    if swin_gflops:
-        extra["swinir_fwd_gflop_128px_bs4"] = round(swin_gflops, 1)
-        best_swin = max(ab.values())
-        extra["swinir_best_achieved_tflops"] = round(best_swin * swin_gflops / (4 * SIZE * SIZE / 1e6) / 1e3, 1)
+    with section("swinir"):
+        swin = build_network(dict(SWINIR_OPT))
+        swin_params = init_params(swin, SIZE)
+        for bs, size in ((1, 128), (4, 128), (1, 256)):
+            ab = measure_ab(swin, swin_params, size, bs, jnp.float32, modes=("off", "auto"), iters=6)
+            tag = f"swinir_{size}px_bs{bs}_fp32"
+            extra[f"{tag}_xla_mpix_s"] = round(ab["off"], 3)
+            extra[f"{tag}_pallas_mpix_s"] = round(ab["auto"], 3)
+        # bf16 A/B: "auto" routes through the v3 whole-block kernel (the round-3
+        # winner: bs4@128 1.43 vs 0.82 XLA — scripts/bench_swin_bf16.py matrix)
+        ab = measure_ab(swin, swin_params, SIZE, 4, jnp.bfloat16, modes=("off", "auto"), iters=6)
+        extra["swinir_128px_bs4_bf16_xla_mpix_s"] = round(ab["off"], 3)
+        extra["swinir_128px_bs4_bf16_pallas_mpix_s"] = round(ab["auto"], 3)
+        enable_pallas(False)
+        _, _, swin_gflops = measure(swin, swin_params, SIZE, 4, jnp.float32, iters=1, want_flops=True)
+        if swin_gflops:
+            extra["swinir_fwd_gflop_128px_bs4"] = round(swin_gflops, 1)
+            best_swin = max(ab.values())
+            extra["swinir_best_achieved_tflops"] = round(best_swin * swin_gflops / (4 * SIZE * SIZE / 1e6) / 1e3, 1)
 
     # ------------------------------------------------------------------
     # PromptIR (verbatim test_PromptIR_5d network) — same whole-block kernel
     # default as Restormer (A/B 2.02× fp32 / 1.60× bf16); both paths recorded
     # ------------------------------------------------------------------
-    progress("PromptIR section")
-    prompt = build_network(dict(PROMPTIR_OPT))
-    prompt_params = init_params(prompt, SIZE)
-    enable_pallas(False)
-    _, _, prompt_gflops = measure(prompt, prompt_params, SIZE, 1, jnp.float32, iters=1, want_flops=True)
-    ab = measure_ab(prompt, prompt_params, SIZE, 1, jnp.float32, modes=("off", "auto"))
-    extra["promptir_bs1_fp32_xla_mpix_s"] = round(ab["off"], 3)
-    extra["promptir_bs1_fp32_pallas_mpix_s"] = round(ab["auto"], 3)
-    extra["promptir_bs1_fp32_mpix_s"] = round(max(ab.values()), 3)
-    ab = measure_ab(prompt, prompt_params, SIZE, 8, jnp.float32, modes=("off", "auto"))
-    extra["promptir_bs8_fp32_xla_mpix_s"] = round(ab["off"], 3)
-    extra["promptir_bs8_fp32_pallas_mpix_s"] = round(ab["auto"], 3)
-    mpix = max(ab.values())
-    extra["promptir_bs8_fp32_mpix_s"] = round(mpix, 3)
-    if prompt_gflops:
-        extra["promptir_fwd_gflop_128px"] = round(prompt_gflops, 1)
-        extra["promptir_fp32_achieved_tflops"] = round(mpix * prompt_gflops / (SIZE * SIZE / 1e6) / 1e3, 1)
-    ab = measure_ab(prompt, prompt_params, SIZE, 8, jnp.bfloat16, modes=("off", "auto"))
-    extra["promptir_bs8_bf16_xla_mpix_s"] = round(ab["off"], 3)
-    extra["promptir_bs8_bf16_pallas_mpix_s"] = round(ab["auto"], 3)
-    extra["promptir_bs8_bf16_mpix_s"] = round(max(ab.values()), 3)
+    with section("promptir"):
+        prompt = build_network(dict(PROMPTIR_OPT))
+        prompt_params = init_params(prompt, SIZE)
+        enable_pallas(False)
+        _, _, prompt_gflops = measure(prompt, prompt_params, SIZE, 1, jnp.float32, iters=1, want_flops=True)
+        ab = measure_ab(prompt, prompt_params, SIZE, 1, jnp.float32, modes=("off", "auto"))
+        extra["promptir_bs1_fp32_xla_mpix_s"] = round(ab["off"], 3)
+        extra["promptir_bs1_fp32_pallas_mpix_s"] = round(ab["auto"], 3)
+        extra["promptir_bs1_fp32_mpix_s"] = round(max(ab.values()), 3)
+        ab = measure_ab(prompt, prompt_params, SIZE, 8, jnp.float32, modes=("off", "auto"))
+        extra["promptir_bs8_fp32_xla_mpix_s"] = round(ab["off"], 3)
+        extra["promptir_bs8_fp32_pallas_mpix_s"] = round(ab["auto"], 3)
+        mpix = max(ab.values())
+        extra["promptir_bs8_fp32_mpix_s"] = round(mpix, 3)
+        if prompt_gflops:
+            extra["promptir_fwd_gflop_128px"] = round(prompt_gflops, 1)
+            extra["promptir_fp32_achieved_tflops"] = round(mpix * prompt_gflops / (SIZE * SIZE / 1e6) / 1e3, 1)
+        ab = measure_ab(prompt, prompt_params, SIZE, 8, jnp.bfloat16, modes=("off", "auto"))
+        extra["promptir_bs8_bf16_xla_mpix_s"] = round(ab["off"], 3)
+        extra["promptir_bs8_bf16_pallas_mpix_s"] = round(ab["auto"], 3)
+        extra["promptir_bs8_bf16_mpix_s"] = round(max(ab.values()), 3)
 
     # ------------------------------------------------------------------
     # DCPT pre-training step (the method's core — r2 item 3)
@@ -365,6 +393,24 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — inference numbers still publish
         extra["dcpt_train_error"] = str(e)[:200]
 
+    import os
+
+    if headline == 0.0 and os.path.exists(_last_good_path()):
+        # the headline section died mid-run — publish the cached last-good
+        # measurement (labeled) instead of a false-regression 0.0, and carry
+        # this run's partial results alongside for diagnosis
+        with open(_last_good_path()) as f:
+            cached = json.load(f)
+        cached.setdefault("extra", {})
+        cached["extra"]["error"] = ("headline section failed this run — values are the "
+                                    "CACHED last-good measurement; partial fresh results in partial_extra")
+        cached["extra"]["partial_extra"] = extra
+        for k in ("measured_at", "git_rev"):
+            if k in cached:
+                cached["extra"][f"cached_{k}"] = cached.pop(k)
+        print(json.dumps(cached))
+        return
+
     result = {
         "metric": "nafnet_w64_128px_fp32_saturated_inference_throughput",
         "value": round(headline, 3),
@@ -372,7 +418,8 @@ def main() -> None:
         "vs_baseline": round(headline / BASELINE_MPIX_PER_S, 3),
         "extra": extra,
     }
-    _save_last_good(result)
+    if not any(k.startswith("section_") or k.startswith("ab_error_") for k in extra):
+        _save_last_good(result)  # only fully-clean runs become the fallback
     print(json.dumps(result))
 
 
