@@ -219,7 +219,7 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001 — one dead path (e.g. a
                 # kernel compile OOM) must not zero the whole artifact; the
                 # surviving mode still publishes and the failure is recorded
-                extra[f"ab_error_{mode}"] = str(e)[:200]
+                extra[f"ab_error_{type(net).__name__}_{size}px_bs{bs}_{jnp.dtype(dtype).name}_{mode}"] = str(e)[:200]
         enable_pallas("off")
         if not fns:
             return {mode: 0.0 for mode in modes}
