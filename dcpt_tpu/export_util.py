@@ -1,0 +1,127 @@
+"""Serving export: restoration networks → portable StableHLO artifacts.
+
+Beyond-reference capability (the torch reference has no deployment story —
+its inference entry is the research ``basicsr/test.py`` loop): a trained
+dcpt_tpu network is exported once with :mod:`jax.export` into a
+self-contained, version-stable StableHLO artifact that a serving process
+loads WITHOUT the model zoo, the yml config system, or even this package —
+only jax is needed at load time.  TPU-first by construction:
+
+* the artifact records the lowering for explicit ``platforms`` (default
+  ``("tpu", "cpu")`` so the same file serves on TPU and can be smoke-tested
+  on CPU);
+* the batch dimension is exported SYMBOLICALLY (``jax.export`` shape
+  polymorphism) — the server picks any batch size at run time while H/W stay
+  static, preserving XLA's static-shape tiling for the MXU;
+* params are baked into the artifact as constants (one file to ship) in the
+  requested dtype (bf16 for the v5e fast path).
+
+Usage (programmatic)::
+
+    blob = export_network(net, params, height=128, width=128)
+    restore = load_exported(blob)         # any process, any machine
+    sr = restore(lq_batch)                # (b, 128, 128, 3) for ANY b
+
+CLI (mirrors the test-pipeline surface)::
+
+    python -m dcpt_tpu.export_util -opt options/.../test_NAFNet_5d.yml \
+        --height 128 --width 128 --out nafnet_128.shlo
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+
+def export_network(
+    net,
+    params,
+    *,
+    height: int,
+    width: int,
+    channels: int = 3,
+    dtype=jnp.float32,
+    platforms: tuple[str, ...] = ("tpu", "cpu"),
+    symbolic_batch: bool = True,
+) -> bytes:
+    """Serialize ``net.apply`` with baked-in ``params`` to StableHLO bytes.
+
+    The exported callable maps ``(b, height, width, channels) -> restored``
+    with ``b`` symbolic (any positive batch) unless ``symbolic_batch=False``
+    (then ``b`` is pinned to 1 — marginally faster serving for bs1 because
+    no symbolic-dim bounds checks are traced).
+    """
+    cast = jax.tree.map(lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+
+    def fwd(x):
+        out = net.apply({"params": cast}, x.astype(dtype))
+        if isinstance(out, tuple):  # archs return (restored, taps)
+            out = out[0]
+        return out.astype(dtype)
+
+    if symbolic_batch:
+        (b,) = jax_export.symbolic_shape("b")
+        spec = jax.ShapeDtypeStruct((b, height, width, channels), dtype)
+    else:
+        spec = jax.ShapeDtypeStruct((1, height, width, channels), dtype)
+    exported = jax_export.export(jax.jit(fwd), platforms=list(platforms))(spec)
+    return bytes(exported.serialize())
+
+
+def load_exported(blob_or_path):
+    """bytes or file path → callable ``restore(x)`` running the artifact."""
+    if isinstance(blob_or_path, str):
+        with open(blob_or_path, "rb") as f:
+            blob = f.read()
+    else:
+        blob = bytes(blob_or_path)
+    exported = jax_export.deserialize(blob)
+    return jax.jit(exported.call)
+
+
+def main() -> None:
+    import argparse
+    import os.path as osp
+
+    parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    parser.add_argument("-opt", required=True, help="test yml (network_g + path.pretrain_network_g)")
+    parser.add_argument("--height", type=int, required=True)
+    parser.add_argument("--width", type=int, required=True)
+    parser.add_argument("--out", required=True, help="output artifact path")
+    parser.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    parser.add_argument("--platforms", default="tpu,cpu")
+    parser.add_argument("--static-batch", action="store_true")
+    args = parser.parse_args()
+
+    from dcpt_tpu.archs import build_network
+    from dcpt_tpu.models.base_model import BaseModel
+    from dcpt_tpu.utils.options import yaml_load
+
+    opt = yaml_load(args.opt)
+    net = build_network(dict(opt["network_g"]))
+    init = net.init(jax.random.PRNGKey(0), jnp.zeros((1, args.height, args.width, 3)))["params"]
+    load_path = (opt.get("path") or {}).get("pretrain_network_g")
+    if load_path:
+        # the loader is stateless (verified: no self attrs) — reuse it without
+        # instantiating the full model/optimizer stack
+        params = BaseModel.load_network_params(
+            None, net, load_path, param_key=(opt.get("path") or {}).get("param_key_g", "params"),
+            init_params=init)
+    else:
+        params = init
+
+    blob = export_network(
+        net, params, height=args.height, width=args.width,
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+        platforms=tuple(args.platforms.split(",")),
+        symbolic_batch=not args.static_batch,
+    )
+    with open(args.out, "wb") as f:
+        f.write(blob)
+    print(f"wrote {args.out} ({osp.getsize(args.out):,} bytes)")
+
+
+if __name__ == "__main__":
+    main()
