@@ -24,6 +24,8 @@ import logging
 import math
 import os
 import os.path as osp
+import signal
+import threading
 import time
 
 from dcpt_tpu.data import (
@@ -173,6 +175,34 @@ def train_pipeline(root_path: str, args=None):
     start_time = time.time()
     warmup_iter = opt["train"].get("warmup_iter", -1)
 
+    # Preemption-safe shutdown (TPU pods get SIGTERM before reclaim): finish
+    # the in-flight step, save model + training state, exit cleanly so
+    # --auto_resume continues from the preemption point.  Handlers only bind
+    # in the main thread (signal module restriction) and are restored on exit
+    # so in-process callers (tests) keep their own handling.
+    stop = {"signum": None}
+    prev_handlers = {}
+    if threading.current_thread() is threading.main_thread():
+        def _request_stop(signum, frame):  # noqa: ARG001
+            stop["signum"] = signum
+
+        for sig in (signal.SIGTERM,):
+            prev_handlers[sig] = signal.signal(sig, _request_stop)
+
+    try:
+        return _train_loop(opt, logger, msg_logger, tb_logger, model, train_sampler,
+                           train_loader, val_loaders, total_epochs, total_iters,
+                           start_epoch, current_iter, prefetch_mode, warmup_iter,
+                           data_timer, iter_timer, start_time, stop)
+    finally:
+        for sig, handler in prev_handlers.items():
+            signal.signal(sig, handler)
+
+
+def _train_loop(opt, logger, msg_logger, tb_logger, model, train_sampler, train_loader,
+                val_loaders, total_epochs, total_iters, start_epoch, current_iter,
+                prefetch_mode, warmup_iter, data_timer, iter_timer, start_time, stop):
+    epoch = start_epoch
     for epoch in range(start_epoch, total_epochs + 1):
         train_sampler.set_epoch(epoch)
         if prefetch_mode == "device":
@@ -211,6 +241,16 @@ def train_pipeline(root_path: str, args=None):
             if opt.get("val") is not None and (current_iter % opt["val"]["val_freq"] == 0):
                 for val_loader in val_loaders:
                     model.validation(val_loader, current_iter, tb_logger, opt["val"].get("save_img", False))
+
+            if stop["signum"] is not None:
+                logger.warning(
+                    f"Received signal {stop['signum']} — preemption-safe shutdown: "
+                    f"saving model + training state at iter {current_iter} and exiting."
+                )
+                model.save(epoch, current_iter)
+                model.finalize_checkpoints()
+                logger.info("Preemption save committed; resume with --auto_resume.")
+                return model
 
             data_timer.start()
             iter_timer.start()

@@ -68,6 +68,36 @@ class TestExportRoundTrip:
         assert out.dtype == jnp.bfloat16 and np.isfinite(np.asarray(out, np.float32)).all()
 
 
+class TestExportAllFlagships:
+    """Every flagship arch exports and round-trips at tiny dims — pins the
+    serving path across the zoo (window attention, MDTA, prompts, pixel
+    (un)shuffle all survive jax.export's symbolic-batch tracing)."""
+
+    CONFIGS = {  # mirrors the proven tiny configs in test_pipeline_all_archs.py
+        "restormer": {"type": "Restormer", "dim": 8, "num_blocks": [1, 1, 1, 1],
+                      "num_refinement_blocks": 1, "heads": [1, 2, 2, 4]},
+        "promptir": {"type": "PromptIR", "dim": 48, "num_blocks": [1, 1, 1, 1],
+                     "num_refinement_blocks": 1, "heads": [1, 2, 4, 8]},
+        "swinir": {"type": "SwinIR", "img_size": 16, "embed_dim": 16, "depths": [1, 1],
+                   "num_heads": [2, 2], "mlp_ratio": 2.0, "window_size": 8, "upscale": 1},
+    }
+
+    @pytest.mark.parametrize("name", sorted(CONFIGS))
+    def test_flagship_exports(self, name):
+        from dcpt_tpu.archs import build_network
+        from dcpt_tpu.export_util import export_network, load_exported
+
+        net = build_network(dict(self.CONFIGS[name]))
+        x16 = jnp.zeros((1, 16, 16, 3))
+        params = net.init(jax.random.PRNGKey(0), x16)["params"]
+        blob = export_network(net, params, height=16, width=16, platforms=("cpu",))
+        restore = load_exported(blob)
+        x = jnp.asarray(np.random.default_rng(2).random((2, 16, 16, 3), np.float32))
+        out = net.apply({"params": params}, x)
+        want = out[0] if isinstance(out, tuple) else out
+        np.testing.assert_allclose(np.asarray(restore(x)), np.asarray(want), atol=2e-5)
+
+
 class TestExportCli:
     def test_cli_end_to_end(self, tiny_net, tmp_path):
         from dcpt_tpu.export_util import load_exported
