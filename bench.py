@@ -137,25 +137,39 @@ def _tpu_preflight(timeout_s: int = 300, attempts: int = 3) -> bool:
     return False
 
 
+def _report_cached(note: str, partial_extra: dict | None = None) -> bool:
+    """Print the cached last-good measurement (labeled) as the one JSON line.
+
+    Returns False when no usable cache exists (caller falls back to the 0.0
+    line).  The replayed line carries a top-level ``"cached": true`` so
+    schema-level consumers can distinguish it from a fresh measurement — the
+    ``value`` itself is the last real number, NOT this run's."""
+    import os
+
+    try:
+        with open(_last_good_path()) as f:
+            cached = json.load(f)
+        if not isinstance(cached, dict) or "value" not in cached:
+            raise ValueError("malformed cache")
+    except (OSError, ValueError):
+        return False
+    cached["cached"] = True
+    cached.setdefault("extra", {})
+    cached["extra"]["error"] = note + "; values are the CACHED last-good run, not this run's"
+    if partial_extra:
+        cached["extra"]["partial_extra"] = partial_extra
+    for k in ("measured_at", "git_rev"):
+        if k in cached:
+            cached["extra"][f"cached_{k}"] = cached.pop(k)
+    print(json.dumps(cached))
+    return True
+
+
 def main() -> None:
     if not _tpu_preflight():
-        import json
-        import os
-
         note = ("accelerator unreachable: device init/compile probe timed out "
                 "(dead axon tunnel?) — no fresh measurement taken this run")
-        if os.path.exists(_last_good_path()):
-            # Report the last COMPLETED measurement, clearly labeled with its
-            # provenance, rather than a false-regression 0.0.
-            with open(_last_good_path()) as f:
-                cached = json.load(f)
-            cached.setdefault("extra", {})
-            cached["extra"]["error"] = note + "; values below are the CACHED last-good run"
-            for k in ("measured_at", "git_rev"):
-                if k in cached:
-                    cached["extra"][f"cached_{k}"] = cached.pop(k)
-            print(json.dumps(cached))
-        else:
+        if not _report_cached(note):
             print(json.dumps({
                 "metric": "nafnet_w64_128px_fp32_saturated_inference_throughput",
                 "value": 0.0, "unit": "Megapixels/sec/chip", "vs_baseline": 0.0,
@@ -262,11 +276,11 @@ def main() -> None:
     # ------------------------------------------------------------------
     # NAFNet (headline)
     # ------------------------------------------------------------------
-    naf = build_network(dict(NAFNET_OPT))
-    naf_params = init_params(naf, SIZE)
-
+    naf = naf_params = None
     naf_gflops = None
     with section("nafnet"):
+        naf = build_network(dict(NAFNET_OPT))
+        naf_params = init_params(naf, SIZE)
         # latency anchor (round-1 comparable) + per-path at bs1, interleaved min
         ab = measure_ab(naf, naf_params, SIZE, 1, jnp.float32, modes=("off", "all"))
         extra["nafnet_bs1_fp32_xla_mpix_s"] = round(ab["off"], 3)
@@ -393,22 +407,11 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — inference numbers still publish
         extra["dcpt_train_error"] = str(e)[:200]
 
-    import os
-
-    if headline == 0.0 and os.path.exists(_last_good_path()):
-        # the headline section died mid-run — publish the cached last-good
-        # measurement (labeled) instead of a false-regression 0.0, and carry
-        # this run's partial results alongside for diagnosis
-        with open(_last_good_path()) as f:
-            cached = json.load(f)
-        cached.setdefault("extra", {})
-        cached["extra"]["error"] = ("headline section failed this run — values are the "
-                                    "CACHED last-good measurement; partial fresh results in partial_extra")
-        cached["extra"]["partial_extra"] = extra
-        for k in ("measured_at", "git_rev"):
-            if k in cached:
-                cached["extra"][f"cached_{k}"] = cached.pop(k)
-        print(json.dumps(cached))
+    if headline == 0.0 and _report_cached(
+            "headline section failed this run", partial_extra=extra):
+        # the headline section died mid-run — the cached last-good measurement
+        # (labeled, with this run's partial results attached) beats a
+        # false-regression 0.0
         return
 
     result = {
@@ -418,7 +421,9 @@ def main() -> None:
         "vs_baseline": round(headline / BASELINE_MPIX_PER_S, 3),
         "extra": extra,
     }
-    if not any(k.startswith("section_") or k.startswith("ab_error_") for k in extra):
+    clean = not any(
+        k.startswith(("section_", "ab_error_")) or k == "dcpt_train_error" for k in extra)
+    if clean:
         _save_last_good(result)  # only fully-clean runs become the fallback
     print(json.dumps(result))
 
@@ -448,8 +453,12 @@ def _save_last_good(result: dict) -> None:
         pass
     try:
         os.makedirs(os.path.dirname(_last_good_path()), exist_ok=True)
-        with open(_last_good_path(), "w") as f:
+        # atomic replace: a crash mid-write must not leave truncated JSON
+        # that would poison the next dead-tunnel fallback
+        tmp = _last_good_path() + ".tmp"
+        with open(tmp, "w") as f:
             _json.dump(meta, f, indent=1)
+        os.replace(tmp, _last_good_path())
     except OSError:
         pass
 

@@ -70,15 +70,21 @@ def export_network(
     return bytes(exported.serialize())
 
 
-def load_exported(blob_or_path):
-    """bytes or file path → callable ``restore(x)`` running the artifact."""
+def load_exported(blob_or_path, jit: bool = True):
+    """bytes or file path → callable ``restore(x)`` running the artifact.
+
+    ``jit=True`` (default) wraps the call for dispatch caching — right for
+    real serving hosts where compilation is local.  On environments that
+    remote-compile (e.g. a tunnel-attached dev TPU) the baked-in param
+    constants make the program body large; pass ``jit=False`` there to call
+    the artifact eagerly."""
     if isinstance(blob_or_path, str):
         with open(blob_or_path, "rb") as f:
             blob = f.read()
     else:
         blob = bytes(blob_or_path)
     exported = jax_export.deserialize(blob)
-    return jax.jit(exported.call)
+    return jax.jit(exported.call) if jit else exported.call
 
 
 def main() -> None:
@@ -101,7 +107,10 @@ def main() -> None:
 
     opt = yaml_load(args.opt)
     net = build_network(dict(opt["network_g"]))
-    init = net.init(jax.random.PRNGKey(0), jnp.zeros((1, args.height, args.width, 3)))["params"]
+    # init on the host CPU device: full-size param init must not run through
+    # a remote accelerator (CLAUDE.md: init large params on CPU first)
+    with jax.default_device(jax.devices("cpu")[0]):
+        init = net.init(jax.random.PRNGKey(0), jnp.zeros((1, args.height, args.width, 3)))["params"]
     load_path = (opt.get("path") or {}).get("pretrain_network_g")
     if load_path:
         # the loader is stateless (verified: no self attrs) — reuse it without

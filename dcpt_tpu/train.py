@@ -196,7 +196,10 @@ def train_pipeline(root_path: str, args=None):
                            data_timer, iter_timer, start_time, stop)
     finally:
         for sig, handler in prev_handlers.items():
-            signal.signal(sig, handler)
+            # a None return means the previous handler was installed from C
+            # and cannot be re-installed from Python — fall back to SIG_DFL
+            # rather than raising TypeError after a successful run
+            signal.signal(sig, handler if handler is not None else signal.SIG_DFL)
 
 
 def _train_loop(opt, logger, msg_logger, tb_logger, model, train_sampler, train_loader,

@@ -43,6 +43,7 @@ def test_dead_tunnel_with_cache_reports_last_good(bench, capsys, monkeypatch, tm
     d = _run_main(bench, capsys)
     assert all(k in d for k in REQUIRED)
     assert d["value"] == 12.5
+    assert d["cached"] is True  # schema-level marker: NOT a fresh measurement
     assert "error" in d["extra"] and "CACHED" in d["extra"]["error"]
     # provenance moved into extra so the top level stays schema-clean
     assert d["extra"]["cached_measured_at"] == "2026-08-17T00:00:00Z"
@@ -56,6 +57,16 @@ def test_dead_tunnel_without_cache_reports_zero(bench, capsys, monkeypatch, tmp_
     assert all(k in d for k in REQUIRED)
     assert d["value"] == 0.0 and d["vs_baseline"] == 0.0
     assert "error" in d["extra"]
+
+
+def test_dead_tunnel_with_corrupt_cache_still_prints_one_line(bench, capsys, monkeypatch, tmp_path):
+    """A truncated cache (crash mid-write) must degrade to the 0.0 line, not
+    crash main() with zero stdout lines."""
+    cache = tmp_path / "bench_last_good.json"
+    cache.write_text('{"metric": "nafnet_w64')  # truncated JSON
+    monkeypatch.setattr(bench, "_last_good_path", lambda: str(cache))
+    d = _run_main(bench, capsys)
+    assert d["value"] == 0.0 and "error" in d["extra"]
 
 
 def test_repo_cache_is_valid_and_schema_complete():
