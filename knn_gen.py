@@ -22,6 +22,12 @@ import cv2
 import numpy as np
 
 import jax
+
+# honor JAX_PLATFORMS even where a sitecustomize pins another backend at
+# import time (this env's axon shim) — the env-var route alone is overridden,
+# and a dead remote backend otherwise hangs device init forever
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 import jax.numpy as jnp
 
 from dcpt_tpu.archs import build_network
