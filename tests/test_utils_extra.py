@@ -114,9 +114,11 @@ class TestKnnPipeline:
                 "--levels", "3", "--max-images", "4",
             ],
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            # the flagship-arch CPU compile takes ~8 min alone; leave headroom
-            # for full-suite CPU contention (it timed out at 600 under load)
-            capture_output=True, text=True, timeout=1800,
+            # env was previously BUILT but not passed — the child inherited
+            # JAX_PLATFORMS=axon and silently ran via the remote accelerator
+            # (hanging forever when the tunnel is down); with env= the run is
+            # a genuine CPU compile (~minutes under full-suite contention)
+            env=env, capture_output=True, text=True, timeout=1800,
         )
         assert r.returncode == 0, r.stderr[-2000:]
         feats = np.load(out / "lr_features_3.npy")
