@@ -70,6 +70,87 @@ def export_network(
     return bytes(exported.serialize())
 
 
+def export_network_dp(
+    net,
+    params,
+    *,
+    devices: int,
+    height: int,
+    width: int,
+    channels: int = 3,
+    dtype=jnp.float32,
+    platforms: tuple[str, ...] = ("tpu", "cpu"),
+) -> bytes:
+    """Multi-chip serving artifact: the batch is sharded over ``devices``.
+
+    The artifact records the mesh size and shardings (``Exported.nr_devices
+    == devices``); the serving host calls it with a batch laid out over the
+    same-sized mesh and XLA runs every chip in SPMD — no per-host batch
+    slicing code needed.  Batch stays symbolic as ``devices·b`` (any multiple
+    of the mesh size)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    import numpy as np
+
+    cast = jax.tree.map(lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+
+    def fwd(x):
+        out = net.apply({"params": cast}, x.astype(dtype))
+        return (out[0] if isinstance(out, tuple) else out).astype(dtype)
+
+    mesh = Mesh(np.array(jax.devices()[:devices]), ("data",))
+    sharding = NamedSharding(mesh, P("data"))
+    (b,) = jax_export.symbolic_shape("b")
+    spec = jax.ShapeDtypeStruct((devices * b, height, width, channels), dtype, sharding=sharding)
+    f = jax.jit(fwd, in_shardings=sharding, out_shardings=sharding)
+    return bytes(jax_export.export(f, platforms=list(platforms))(spec).serialize())
+
+
+def export_network_cp(
+    net_cp,
+    params,
+    *,
+    devices: int,
+    height: int,
+    width: int,
+    halo: int,
+    axis: str = "data",
+    channels: int = 3,
+    dtype=jnp.float32,
+    platforms: tuple[str, ...] = ("tpu", "cpu"),
+) -> bytes:
+    """Context-parallel serving artifact: ONE huge image H-sharded over chips.
+
+    Wraps :func:`dcpt_tpu.parallel.spatial.spatial_sharded_apply` (ppermute
+    halo exchange; the arch's ``cp_*`` options keep global statistics exact
+    via psums) and exports the whole sharded program — collectives included —
+    as one artifact.  ``net_cp`` must be built with ``cp_axis=axis`` and
+    ``cp_halo=halo`` (same contract as ``val.spatial_cp``); ``params`` come
+    from the param-compatible plain net (cp psums cannot trace outside
+    shard_map, so init with ``cp_axis=None``).  H and W are static — CP
+    serving is for a fixed huge-image geometry."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    import numpy as np
+
+    from .parallel.spatial import spatial_sharded_apply
+
+    cast = jax.tree.map(lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
+    mesh = Mesh(np.array(jax.devices()[:devices]), (axis,))
+    sharding = NamedSharding(mesh, P(None, axis))
+
+    def fwd(p, xs):
+        out = net_cp.apply({"params": p}, xs.astype(dtype))
+        return (out[0] if isinstance(out, tuple) else out).astype(dtype)
+
+    def cp_apply(x):
+        return spatial_sharded_apply(fwd, cast, x, mesh, halo=halo, axis=axis)
+
+    spec = jax.ShapeDtypeStruct((1, height, width, channels), dtype, sharding=sharding)
+    f = jax.jit(cp_apply, in_shardings=sharding, out_shardings=sharding)
+    return bytes(jax_export.export(f, platforms=list(platforms))(spec).serialize())
+
+
 def load_exported(blob_or_path, jit: bool = True):
     """bytes or file path → callable ``restore(x)`` running the artifact.
 

@@ -98,6 +98,60 @@ class TestExportAllFlagships:
         np.testing.assert_allclose(np.asarray(restore(x)), np.asarray(want), atol=2e-5)
 
 
+class TestMultiChipExport:
+    """Sharded serving artifacts on the virtual 8-device CPU mesh: the
+    artifact embeds mesh size + shardings + collectives, and its output must
+    equal the in-process path it wraps."""
+
+    def test_dp_sharded_artifact(self, tiny_net):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from dcpt_tpu.export_util import export_network_dp, load_exported
+
+        net, params = tiny_net
+        blob = export_network_dp(net, params, devices=4, height=16, width=16, platforms=("cpu",))
+        exported = __import__("jax.export", fromlist=["deserialize"]).deserialize(blob)
+        assert exported.nr_devices == 4
+
+        restore = load_exported(blob)
+        mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+        sh = NamedSharding(mesh, P("data"))
+        for bs in (4, 8):  # symbolic: any multiple of the mesh size
+            x_np = np.random.default_rng(bs).random((bs, 16, 16, 3), np.float32)
+            x = jax.device_put(jnp.asarray(x_np), sh)
+            want = net.apply({"params": params}, jnp.asarray(x_np))[0]
+            np.testing.assert_allclose(np.asarray(restore(x)), np.asarray(want), atol=1e-5)
+
+    def test_cp_sharded_artifact_matches_inprocess_cp(self):
+        """Exported CP program (shard_map + ppermute + psum collectives
+        baked into one artifact) == the live spatial_sharded_apply path."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from dcpt_tpu.archs import build_network
+        from dcpt_tpu.export_util import export_network_cp, load_exported
+        from dcpt_tpu.parallel.spatial import spatial_sharded_apply
+
+        cfg = {"type": "NAFNetBaseline", "width": 8,
+               "enc_blk_nums": [1], "middle_blk_num": 1, "dec_blk_nums": [1]}
+        plain = build_network(dict(cfg))
+        net_cp = build_network(dict(cfg, cp_axis="data", cp_halo=8))
+        params = plain.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 32, 3)))["params"]
+        params = jax.tree_util.tree_map_with_path(
+            lambda p, a: jnp.full_like(a, 0.3) if p[-1].key in ("beta", "gamma") else a, params)
+
+        blob = export_network_cp(net_cp, params, devices=4, height=64, width=32,
+                                 halo=8, platforms=("cpu",))
+        mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+        sh = NamedSharding(mesh, P(None, "data"))
+        x_np = np.random.default_rng(0).random((1, 64, 32, 3), np.float32)
+        x = jax.device_put(jnp.asarray(x_np), sh)
+
+        want = spatial_sharded_apply(
+            lambda p, xs: net_cp.apply({"params": p}, xs)[0], params, x, mesh, halo=8)
+        got = load_exported(blob)(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
 class TestExportCli:
     def test_cli_end_to_end(self, tiny_net, tmp_path):
         from dcpt_tpu.export_util import load_exported
