@@ -135,6 +135,17 @@ def export_network_cp(
 
     from .parallel.spatial import spatial_sharded_apply
 
+    # same exactness contract as val.spatial_cp: a halo/axis mismatch between
+    # the wrapper and the arch's cp options silently breaks global statistics
+    net_axis = getattr(net_cp, "cp_axis", None)
+    net_halo = getattr(net_cp, "cp_halo", None)
+    if net_axis is not None and net_axis != axis:
+        raise ValueError(f"net_cp.cp_axis={net_axis!r} != export axis {axis!r}")
+    if net_halo not in (None, 0) and net_halo != halo:
+        raise ValueError(f"net_cp.cp_halo={net_halo} != export halo {halo}")
+    if height % devices != 0:
+        raise ValueError(f"H={height} must divide over {devices} shards")
+
     cast = jax.tree.map(lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a, params)
     mesh = Mesh(np.array(jax.devices()[:devices]), (axis,))
     sharding = NamedSharding(mesh, P(None, axis))

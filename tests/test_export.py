@@ -151,6 +151,14 @@ class TestMultiChipExport:
         got = load_exported(blob)(x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
 
+        # halo/axis mismatches with the arch's cp options must be rejected
+        with pytest.raises(ValueError):
+            export_network_cp(net_cp, params, devices=4, height=64, width=32,
+                              halo=16, platforms=("cpu",))
+        with pytest.raises(ValueError):
+            export_network_cp(net_cp, params, devices=4, height=64, width=32,
+                              halo=8, axis="spatial", platforms=("cpu",))
+
 
 class TestExportCli:
     def test_cli_end_to_end(self, tiny_net, tmp_path):
