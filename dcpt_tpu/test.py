@@ -13,25 +13,14 @@ import os.path as osp
 from dcpt_tpu.data import build_dataloader, build_dataset
 from dcpt_tpu.models import build_model
 from dcpt_tpu.utils import get_env_info, get_root_logger, get_time_str, make_exp_dirs
-from dcpt_tpu.utils.options import dict2str, parse_options
+from dcpt_tpu.utils.options import apply_num_gpu_platform, dict2str, parse_options
 
-
-def _apply_num_gpu_platform(opt: dict) -> None:
-    """``num_gpu: 0`` means CPU in the reference (test.py: device='cpu');
-    honor it in-process — the env-var route alone is overridden where a
-    sitecustomize pins another backend at import time."""
-    if opt.get("num_gpu") == 0:
-        import jax
-
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except Exception:  # noqa: BLE001 — backend already initialized; keep it
-            pass
+# Back-compat alias: the platform switch now lives with option parsing.
+_apply_num_gpu_platform = apply_num_gpu_platform
 
 
 def test_pipeline(root_path: str, args=None):
     opt, _ = parse_options(root_path, is_train=False, args=args)
-    _apply_num_gpu_platform(opt)
 
     make_exp_dirs(opt)
     log_file = osp.join(opt["path"]["log"], f"test_{opt['name']}_{get_time_str()}.log")

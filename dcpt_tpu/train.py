@@ -127,10 +127,6 @@ def train_pipeline(root_path: str, args=None):
     opt, parsed_args = parse_options(root_path, is_train=True, args=args)
     opt["root_path"] = root_path
 
-    from dcpt_tpu.test import _apply_num_gpu_platform
-
-    _apply_num_gpu_platform(opt)  # num_gpu: 0 → CPU (reference semantics)
-
     resume_state_path = load_resume_state(opt)
     resume_state = None
 

@@ -110,8 +110,23 @@ def apply_force_yml(opt: dict, force_entries) -> None:
         set_nested(opt, keys.split(":"), _postprocess_yml_value(value))
 
 
+def apply_num_gpu_platform(opt: dict) -> None:
+    """``num_gpu: 0`` means CPU in the reference (test.py: device='cpu');
+    honor it in-process — the env-var route alone is overridden where a
+    sitecustomize pins another backend at import time."""
+    if opt.get("num_gpu") == 0:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:  # noqa: BLE001 — backend already initialized; keep it
+            pass
+
+
 def _resolve_num_devices(opt: dict) -> None:
     num = opt.get("num_gpu", opt.get("num_devices", "auto"))
+    # Switch platform BEFORE the auto branch can initialize the default backend.
+    apply_num_gpu_platform(opt)
     if num == "auto":
         import jax
 
