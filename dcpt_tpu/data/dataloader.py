@@ -128,23 +128,27 @@ class DataLoader:
 
         ctx = mp.get_context("fork")
         jobs = list(enumerate(self._index_batches()))
-        index_q = ctx.Queue()
+        # Static round-robin batch→worker assignment (torch semantics): batch i
+        # is ALWAYS fetched by worker i % num_workers, so each worker's seeded
+        # RNG stream sees a deterministic sample sequence — augmentations are
+        # reproducible run-to-run, which a dynamic shared queue cannot give.
+        index_qs = [ctx.Queue() for _ in range(self.num_workers)]
         # bounded results = backpressure: workers block once the consumer lags
         result_q = ctx.Queue(maxsize=self.prefetch_batches + self.num_workers)
         procs = [
             ctx.Process(
                 target=_process_worker,
-                args=(self.dataset, index_q, result_q, w, self.num_workers, self.rank, self.seed),
+                args=(self.dataset, index_qs[w], result_q, w, self.num_workers, self.rank, self.seed),
                 daemon=True,
             )
             for w in range(self.num_workers)
         ]
         for p in procs:
             p.start()
-        for job in jobs:
-            index_q.put(job)
-        for _ in procs:
-            index_q.put(None)
+        for seq, chunk in jobs:
+            index_qs[seq % self.num_workers].put((seq, chunk))
+        for q in index_qs:
+            q.put(None)
         try:
             buffered: dict[int, list] = {}
             for want in range(len(jobs)):
