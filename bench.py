@@ -1,6 +1,10 @@
 """Benchmark: DCPT flagship throughput matrix on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra": {...}}.
+Prints ONE COMPACT JSON line (≤1.4 kB — the driver's tail-capture window is
+small; round 3's full inline matrix overflowed it and zeroed the parsed
+artifact): {"metric", "value", "unit", "vs_baseline", "extra": {whitelist}}.
+The COMPLETE matrix is written to ``results/bench_full.json`` (the line's
+``extra.full`` points there).
 
 Headline = NAFNet-w64 (enc [1,1,1,28]) fp32 inference at 128 px, batch-saturated
 (the framework's real throughput; batch 1 measures dispatch latency — that
@@ -50,6 +54,94 @@ import numpy as np
 BASELINE_MPIX_PER_S = 2.0
 SIZE = 128
 ITERS = 10
+
+# Keys promoted from the full matrix into the one printed line.  The driver's
+# tail-capture window is small (BENCH_r03 overflowed it: the whole ~3 kB extra
+# matrix was inlined and the opening "{" was cut off → ``parsed: null``), so
+# the stdout line carries ONLY these plus error counts; everything else goes
+# to results/bench_full.json.
+COMPACT_KEYS = (
+    "nafnet_bs16_fp32_xla_mpix_s",
+    "nafnet_bs32_bf16_mpix_s",
+    "nafnet_bf16_mfu_pct_v5e",
+    "restormer_bs8_fp32_mpix_s",
+    "restormer_bs8_bf16_mpix_s",
+    "promptir_bs8_fp32_mpix_s",
+    "swinir_128px_bs4_bf16_pallas_mpix_s",
+    "dcpt_train_step_mixed_ms",
+    "dcpt_train_step_mixed_achieved_tflops",
+    "restormer_train_step_mixed_ms",
+)
+MAX_LINE_BYTES = 1400
+
+
+def _full_matrix_path() -> str:
+    import os
+
+    return os.path.join(os.path.dirname(_last_good_path()), "bench_full.json")
+
+
+def _write_full_matrix(result: dict) -> None:
+    """Persist the COMPLETE result (full extra matrix + provenance) next to the
+    last-good cache; the printed line only points here."""
+    import os
+    import subprocess
+
+    meta = dict(result)
+    meta["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    try:
+        rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+                             text=True, cwd=os.path.dirname(_last_good_path())).stdout.strip()
+        if rev:
+            meta["git_rev"] = rev
+    except OSError:
+        pass
+    try:
+        os.makedirs(os.path.dirname(_full_matrix_path()), exist_ok=True)
+        tmp = _full_matrix_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1)
+        import os as _os
+
+        _os.replace(tmp, _full_matrix_path())
+    except OSError:
+        pass
+
+
+def _emit(result: dict) -> None:
+    """Write the full matrix to results/bench_full.json, then print ONE
+    compact JSON line guaranteed under MAX_LINE_BYTES (the driver's
+    tail-capture window): top-level schema keys + whitelisted extras + error
+    summary + the pointer to the full matrix."""
+    _write_full_matrix(result)
+    full_extra = result.get("extra") or {}
+    slim = {k: result[k] for k in ("metric", "value", "unit", "vs_baseline") if k in result}
+    if result.get("cached"):
+        slim["cached"] = True
+    ex: dict = {}
+    for k in COMPACT_KEYS:
+        if k in full_extra:
+            ex[k] = full_extra[k]
+    err_keys = [k for k in full_extra
+                if k.startswith(("section_", "ab_error_")) or "error" in k]
+    if err_keys:
+        ex["errors"] = len(err_keys)
+        ex["error"] = str(full_extra[err_keys[0]])[:180]
+    for k in ("cached_measured_at", "cached_git_rev"):
+        if k in full_extra:
+            ex[k] = full_extra[k]
+    ex["full"] = "results/bench_full.json"
+    slim["extra"] = ex
+    line = json.dumps(slim)
+    # hard guard: drop whitelisted extras from the tail until the line fits
+    droppable = [k for k in ex if k not in ("error", "full")]
+    while len(line.encode()) > MAX_LINE_BYTES and droppable:
+        ex.pop(droppable.pop())
+        line = json.dumps(slim)
+    if len(line.encode()) > MAX_LINE_BYTES:  # error text was the culprit
+        ex["error"] = ex.get("error", "")[:60]
+        line = json.dumps(slim)
+    print(line)
 
 NAFNET_OPT = {
     "type": "NAFNetBaseline",
@@ -161,7 +253,7 @@ def _report_cached(note: str, partial_extra: dict | None = None) -> bool:
     for k in ("measured_at", "git_rev"):
         if k in cached:
             cached["extra"][f"cached_{k}"] = cached.pop(k)
-    print(json.dumps(cached))
+    _emit(cached)
     return True
 
 
@@ -170,11 +262,11 @@ def main() -> None:
         note = ("accelerator unreachable: device init/compile probe timed out "
                 "(dead axon tunnel?) — no fresh measurement taken this run")
         if not _report_cached(note):
-            print(json.dumps({
+            _emit({
                 "metric": "nafnet_w64_128px_fp32_saturated_inference_throughput",
                 "value": 0.0, "unit": "Megapixels/sec/chip", "vs_baseline": 0.0,
                 "extra": {"error": note},
-            }))
+            })
         return
 
     import jax
@@ -425,7 +517,7 @@ def main() -> None:
         k.startswith(("section_", "ab_error_")) or k == "dcpt_train_error" for k in extra)
     if clean:
         _save_last_good(result)  # only fully-clean runs become the fallback
-    print(json.dumps(result))
+    _emit(result)
 
 
 def _last_good_path() -> str:

@@ -25,6 +25,9 @@ def _run_main(bench_mod, capsys):
     bench_mod.main()
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 1, f"bench must print exactly one stdout line, got {out}"
+    # the driver's tail-capture window is small: BENCH_r03's full inline
+    # matrix overflowed it (parsed=null) — the line must stay compact
+    assert len(out[0].encode()) <= bench_mod.MAX_LINE_BYTES, len(out[0])
     return json.loads(out[0])
 
 
@@ -49,6 +52,27 @@ def test_dead_tunnel_with_cache_reports_last_good(bench, capsys, monkeypatch, tm
     assert d["extra"]["cached_measured_at"] == "2026-08-17T00:00:00Z"
     assert d["extra"]["cached_git_rev"] == "abc123"
     assert "measured_at" not in d and "git_rev" not in d
+    # the full matrix is written next to the cache and the line points at it
+    assert d["extra"]["full"] == "results/bench_full.json"
+    full = json.loads((cache.parent / "bench_full.json").read_text())
+    assert full["extra"]["nafnet_bs16_fp32_xla_mpix_s"] == 12.5
+
+
+def test_compact_line_drops_overflow_but_keeps_schema(bench, capsys, monkeypatch, tmp_path):
+    """A pathological extra (huge strings, many keys) must still yield one
+    parseable line under the cap, with the full detail in bench_full.json."""
+    monkeypatch.setattr(bench, "_last_good_path", lambda: str(tmp_path / "lg.json"))
+    bench._emit({
+        "metric": "m", "value": 1.0, "unit": "u", "vs_baseline": 1.0,
+        "extra": {f"section_{i}_error": "x" * 500 for i in range(20)}
+                 | {k: 1.0 for k in bench.COMPACT_KEYS},
+    })
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1 and len(out[0].encode()) <= bench.MAX_LINE_BYTES
+    d = json.loads(out[0])
+    assert d["value"] == 1.0 and d["extra"]["errors"] == 20
+    full = json.loads((tmp_path / "bench_full.json").read_text())
+    assert len(full["extra"]) == 20 + len(bench.COMPACT_KEYS)
 
 
 def test_dead_tunnel_without_cache_reports_zero(bench, capsys, monkeypatch, tmp_path):
