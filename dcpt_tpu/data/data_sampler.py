@@ -16,17 +16,31 @@ import numpy as np
 
 
 class EnlargedSampler:
-    def __init__(self, dataset, num_replicas: int, rank: int, ratio: int = 1):
+    """``torch_compat=True`` reproduces the reference's exact epoch-seeded
+    ``torch.randperm`` sequence (``data_sampler.py:30-43``) so a migrating
+    user can replay a torch training run's data order bit-for-bit; the
+    default numpy permutation is equally deterministic but a DIFFERENT
+    sequence (yml: ``datasets.train.torch_compat_sampler: true``)."""
+
+    def __init__(self, dataset, num_replicas: int, rank: int, ratio: int = 1,
+                 torch_compat: bool = False):
         self.dataset = dataset
         self.num_replicas = num_replicas
         self.rank = rank
         self.epoch = 0
+        self.torch_compat = torch_compat
         self.num_samples = math.ceil(len(dataset) * ratio / num_replicas)
         self.total_size = self.num_samples * num_replicas
 
     def __iter__(self):
-        rng = np.random.default_rng(self.epoch)
-        indices = rng.permutation(self.total_size)
+        if self.torch_compat:
+            import torch  # test/migration dep only — not on the default path
+
+            g = torch.Generator()
+            g.manual_seed(self.epoch)
+            indices = torch.randperm(self.total_size, generator=g).numpy()
+        else:
+            indices = np.random.default_rng(self.epoch).permutation(self.total_size)
         indices = indices % len(self.dataset)
         indices = indices[self.rank : self.total_size : self.num_replicas]
         assert len(indices) == self.num_samples

@@ -76,7 +76,10 @@ def create_train_val_dataloader(opt, logger):
         if phase == "train":
             dataset_enlarge_ratio = dataset_opt.get("dataset_enlarge_ratio", 1)
             train_set = _build_train_dataset(dataset_opt)
-            train_sampler = EnlargedSampler(train_set, opt["world_size"], opt["rank"], dataset_enlarge_ratio)
+            train_sampler = EnlargedSampler(
+                train_set, opt["world_size"], opt["rank"], dataset_enlarge_ratio,
+                torch_compat=bool(dataset_opt.get("torch_compat_sampler", False)),
+            )
             train_loader = build_dataloader(
                 train_set, dataset_opt, num_gpu=opt["num_gpu"], dist=opt["dist"],
                 sampler=train_sampler, seed=opt["manual_seed"],
@@ -96,7 +99,11 @@ def create_train_val_dataloader(opt, logger):
                 f"\n\tTotal epochs: {total_epochs}; iters: {total_iters}."
             )
         elif phase.split("_")[0] == "val":
-            val_set = build_dataset(dataset_opt)
+            # ConcatDataset allowed here too: DC-family validation is top-1
+            # accuracy over per-degradation datasets and needs the stamped
+            # ``dataset_idx`` labels (reference …model.py:229-289 reads them
+            # from the val batch)
+            val_set = _build_train_dataset(dataset_opt)
             val_loader = build_dataloader(
                 val_set, dataset_opt, num_gpu=opt["num_gpu"], dist=opt["dist"], sampler=None, seed=opt["manual_seed"]
             )

@@ -129,6 +129,24 @@ class TestConcatAndSampler:
         s0.set_epoch(1)
         assert list(s0) != i0
 
+    def test_enlarged_sampler_torch_compat_replays_reference_order(self, image_dirs):
+        """torch_compat=True must emit the reference's EXACT index sequence
+        (epoch-seeded ``torch.randperm`` + modulo + rank stride —
+        /root/reference/basicsr/data/data_sampler.py:30-43), so a migrating
+        user can replay a torch run's data order bit-for-bit."""
+        torch = pytest.importorskip("torch")
+        gt_dir, lq_dir = image_dirs
+        ds = build_dataset(_opt(gt_dir, lq_dir, type="PairedImageDataset"))
+        for epoch in (0, 3):
+            for rank in (0, 1):
+                s = EnlargedSampler(ds, num_replicas=2, rank=rank, ratio=4, torch_compat=True)
+                s.set_epoch(epoch)
+                g = torch.Generator()
+                g.manual_seed(epoch)
+                ref = [v % len(ds) for v in torch.randperm(s.total_size, generator=g).tolist()]
+                ref = ref[rank : s.total_size : 2]
+                assert list(s) == ref
+
     def test_dataloader_batching(self, image_dirs):
         gt_dir, lq_dir = image_dirs
         ds = build_dataset(_opt(gt_dir, lq_dir, type="PairedImageDataset"))
