@@ -208,6 +208,10 @@ class DCDistModel(SRModel):
     def dist_validation(self, dataloader, current_iter, tb_logger, save_img=False, clamp=True, dataset_idx=0):
         if self.opt.get("rank", 0) == 0:
             self.nondist_validation(dataloader, current_iter, tb_logger, save_img, clamp, dataset_idx)
+        # resync the non-zero ranks (see dist_util.barrier)
+        from dcpt_tpu.utils.dist_util import barrier
+
+        barrier("dcdist_validation_done")
 
     def nondist_validation(self, dataloader, current_iter, tb_logger, save_img, clamp=True, dataset_idx=0):
         dataset_name = dataloader.dataset.opt["name"]

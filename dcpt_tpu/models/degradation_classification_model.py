@@ -180,6 +180,12 @@ class DCModel(BaseModel):
     def dist_validation(self, dataloader, current_iter, tb_logger, save_img=False, clamp=True):
         if self.opt.get("rank", 0) == 0:
             self.nondist_validation(dataloader, current_iter, tb_logger, save_img, clamp)
+        # resync: without this the other ranks race into the next training
+        # collective while rank 0 validates, and the collective backend's
+        # context-init deadline (Gloo: 30 s) expires → DEADLINE_EXCEEDED
+        from dcpt_tpu.utils.dist_util import barrier
+
+        barrier("dc_validation_done")
 
     def nondist_validation(self, dataloader, current_iter, tb_logger, save_img=False, clamp=True):
         """Top-1 accuracy over the loader (reference: …model.py:229-289)."""

@@ -504,6 +504,13 @@ class SRModel(BaseModel):
             )
         elif self.opt.get("rank", 0) == 0:
             self.nondist_validation(dataloader, current_iter, tb_logger, save_img, clamp)
+        if not (self.opt.get("val") or {}).get("dist_eval"):
+            # rank-0-only path: resync before the other ranks hit the next
+            # training collective (its backend context init would time out —
+            # Gloo's 30 s deadline; see dist_util.barrier)
+            from dcpt_tpu.utils.dist_util import barrier
+
+            barrier("sr_validation_done")
 
     def nondist_validation(self, dataloader, current_iter, tb_logger, save_img, clamp=True, _stride=None):
         dataset_name = dataloader.dataset.opt["name"]

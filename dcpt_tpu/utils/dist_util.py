@@ -39,6 +39,33 @@ def get_dist_info() -> tuple[int, int]:
         return 0, 1
 
 
+def barrier(name: str, timeout_s: int = 600) -> None:
+    """Block until every process reaches this point (no-op single-process).
+
+    Uses the coordination-service barrier (long, explicit timeout) rather than
+    a device collective: after rank-0-only work (validation, checkpoint I/O)
+    the other ranks may wait MINUTES here, and a collective's backend context
+    init (e.g. Gloo's 30 s key-value deadline on CPU meshes) would time out —
+    observed as ``Gloo context initialization failed: DEADLINE_EXCEEDED`` when
+    rank 1 raced into the next training collective mid-validation."""
+    import jax
+
+    if jax.process_count() == 1:
+        return
+    try:
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+        if client is not None:
+            client.wait_at_barrier(f"dcpt_{name}", timeout_in_ms=timeout_s * 1000)
+            return
+    except Exception:
+        pass
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
 def master_only(func):
     """Run only on rank 0 (reference: dist_util.py:75-82)."""
 
