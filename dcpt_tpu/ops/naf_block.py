@@ -149,7 +149,8 @@ def pick_row_tile(h: int, w: int, c: int) -> int | None:
 
 
 def _block_pallas_v1(x, n1w, n1b, w1, b1, wdw, bdw, wsca, bsca, w3, b3, beta,
-                     n2w, n2b, w4, b4, w5, b5, gamma, eps, th, interpret):
+                     n2w, n2b, w4, b4, w5, b5, gamma, eps, th, interpret,
+                     with_res: bool = False):
     b, h, w, c = x.shape
     dw = w1.shape[1]
     d2 = dw // 2
@@ -198,7 +199,10 @@ def _block_pallas_v1(x, n1w, n1b, w1, b1, wdw, bdw, wsca, bsca, w3, b3, beta,
         out_shape=jax.ShapeDtypeStruct((b, n_t, th, w, c), x.dtype),
         interpret=interpret,
     )(g, x, att, w3, b3[None], beta[None], n2w[None], n2b[None], w4, b4[None], w5, b5[None], gamma[None])
-    return z.reshape(b, h, w, c)
+    z = z.reshape(b, h, w, c)
+    if with_res:
+        return z, pooled, att[:, 0]  # SCA residuals for the analytic backward
+    return z
 
 
 # ---------------------------------------------------------------------------
@@ -354,14 +358,40 @@ def naf_block_fused(x, n1w, n1b, w1, b1, wdw, bdw, wsca, bsca, w3, b3, beta,
                          n2w, n2b, w4, b4, w5, b5, gamma, eps, th, interpret)
 
 
+def _analytic_bwd_enabled() -> bool:
+    """DCPT_TPU_NAF_BWD=1 routes differentiated traces through the fused
+    forward + the hand-derived Pallas backward (naf_block_bwd.py) instead of
+    the twin delegation.  Read at trace time so A/B harnesses can flip it."""
+    import os
+
+    return os.environ.get("DCPT_TPU_NAF_BWD", "0") == "1"
+
+
 def _fwd(x, n1w, n1b, w1, b1, wdw, bdw, wsca, bsca, w3, b3, beta,
          n2w, n2b, w4, b4, w5, b5, gamma, eps, th, interpret):
-    # Differentiated path: skip the kernel ENTIRELY and hand XLA the jnp
-    # twin, so a train step compiles to exactly the autodiff graph it would
-    # have without the kernel.  (Running the kernel forward + recomputing
-    # the twin in _bwd measured 1.86× slower end-to-end on the DCPT train
-    # step — /tmp A/B, PARITY "NAFNet kernel A/B (round 3)".)  Primal-only
-    # traces — inference — never enter _fwd and keep the fused kernel.
+    # Differentiated path, twin delegation (default): skip the kernel
+    # ENTIRELY and hand XLA the jnp twin, so a train step compiles to exactly
+    # the autodiff graph it would have without the kernel.  (Running the
+    # kernel forward + recomputing the twin in _bwd measured 1.86× slower
+    # end-to-end on the DCPT train step — PARITY "NAFNet kernel A/B (round
+    # 3)".)  Primal-only traces — inference — never enter _fwd and keep the
+    # fused kernel.
+    #
+    # DCPT_TPU_NAF_BWD=1 (round-4 lever): fused forward + analytic Pallas
+    # backward — no twin in the graph at all (where the bwd tile picker
+    # accepts the geometry).
+    if _analytic_bwd_enabled():
+        from .naf_block_bwd import pick_bwd_tile
+
+        bh, bw, c = x.shape[1], x.shape[2], x.shape[3]
+        bth = pick_bwd_tile(bh, bw, c)
+        if bth is not None:
+            z, pooled, att = _block_pallas_v1(
+                x, n1w, n1b, w1, b1, wdw, bdw, wsca, bsca, w3, b3, beta,
+                n2w, n2b, w4, b4, w5, b5, gamma, eps, th, interpret, with_res=True)
+            res = (x, n1w, n1b, w1, b1, wdw, bdw, wsca, bsca, w3, b3, beta,
+                   n2w, n2b, w4, b4, w5, b5, gamma, pooled, att)
+            return z, res
     out, vjp = jax.vjp(
         lambda *a: naf_block_ref(*a, eps),
         x, n1w, n1b, w1, b1, wdw, bdw, wsca, bsca, w3, b3, beta,
@@ -369,8 +399,15 @@ def _fwd(x, n1w, n1b, w1, b1, wdw, bdw, wsca, bsca, w3, b3, beta,
     return out, vjp
 
 
-def _bwd(eps, th, interpret, vjp, gr):
-    return vjp(gr)
+def _bwd(eps, th, interpret, res, gr):
+    if isinstance(res, tuple):
+        from .naf_block_bwd import naf_block_bwd, pick_bwd_tile
+
+        *primals, pooled, att = res
+        x = primals[0]
+        bth = pick_bwd_tile(x.shape[1], x.shape[2], x.shape[3])  # static: shapes
+        return naf_block_bwd(*primals, pooled, att, gr, eps, bth, interpret)
+    return res(gr)
 
 
 naf_block_fused.defvjp(_fwd, _bwd)

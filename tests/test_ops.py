@@ -537,6 +537,59 @@ class TestNafBlockFused:
         g2 = jax.grad(lambda x: jnp.sum(naf_block_ref(x, *rest, 1e-6) ** 2))(x)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
 
+    def _block_args(self, rng, b=2, h=16, w=8, c=8):
+        dw, ffn = 2 * c, 2 * c
+        a = lambda *shape: jnp.asarray(rng.standard_normal(shape).astype(np.float32) * 0.1)
+        x = a(b, h, w, c)
+        return (x, a(c) + 1.0, a(c), a(c, dw), a(dw), a(3, 3, dw), a(dw),
+                a(dw // 2, dw // 2), a(dw // 2), a(dw // 2, c), a(c), a(c) + 0.5,
+                a(c) + 1.0, a(c), a(c, ffn), a(ffn), a(ffn // 2, c), a(c), a(c) + 0.5)
+
+    @pytest.mark.parametrize("th", [8, 16])
+    def test_analytic_backward_matches_vjp(self, rng, th):
+        """Hand-derived two-pass Pallas backward == jax.vjp of the twin on all
+        19 cotangents (interpret), incl. the n_t==1 degenerate tile and the
+        SCA global-coupling path."""
+        from dcpt_tpu.ops.naf_block import naf_block_ref
+        from dcpt_tpu.ops.naf_block_bwd import naf_block_bwd
+        from dcpt_tpu.ops.naf_prefix import naf_prefix_ref
+
+        args = self._block_args(rng)
+        x, n1w, n1b, w1, b1, wdw, bdw, wsca, bsca = args[:9]
+        out, vjp = jax.vjp(lambda *a: naf_block_ref(*a, 1e-6), *args)
+        dz = jnp.asarray(rng.standard_normal(out.shape).astype(np.float32))
+        ref = vjp(dz)
+        g = naf_prefix_ref(x, n1w, n1b, w1, b1, wdw, bdw, 1e-6)
+        pooled = jnp.mean(g, axis=(1, 2))
+        att = pooled @ wsca + bsca
+        got = naf_block_bwd(*args, pooled, att, dz, 1e-6, th, interpret=True)
+        assert len(got) == len(ref) == 19
+        for i, (a, b) in enumerate(zip(got, ref)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4,
+                err_msg=f"cotangent {i} mismatch")
+
+    def test_fused_vjp_env_flag_routes_analytic(self, rng, monkeypatch):
+        """DCPT_TPU_NAF_BWD=1: grads through naf_block_fused come from the
+        analytic kernel and still match the twin's autodiff."""
+        from dcpt_tpu.ops.naf_block import naf_block_fused, naf_block_ref
+
+        monkeypatch.setenv("DCPT_TPU_NAF_BWD", "1")
+        args = self._block_args(rng)
+
+        def loss_fused(x, w1, beta):
+            a = (x,) + args[1:3] + (w1,) + args[4:11] + (beta,) + args[12:]
+            return jnp.sum(naf_block_fused(*a, 1e-6, 8, True) ** 2)
+
+        def loss_ref(x, w1, beta):
+            a = (x,) + args[1:3] + (w1,) + args[4:11] + (beta,) + args[12:]
+            return jnp.sum(naf_block_ref(*a, 1e-6) ** 2)
+
+        g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(args[0], args[3], args[11])
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(args[0], args[3], args[11])
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4)
+
     def test_nafnet_with_block_kernel_matches(self, rng, monkeypatch):
         """Whole NAFNet forward identical with the fused-block path — same
         param tree, checkpoint-interchangeable."""
