@@ -499,6 +499,21 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — inference numbers still publish
         extra["dcpt_train_error"] = str(e)[:200]
 
+    # ------------------------------------------------------------------
+    # DCPT-Restormer train step (r3 item 6): perf-guards the kernel-
+    # delegation rule (custom-VJP _fwd hands differentiated traces the jnp
+    # twin) on the arch whose forward kernel is default-on in BOTH
+    # precisions — a regression here means kernels leaked into the train
+    # graph (the failure mode that cost 1.86× on NAFNet in round 3).
+    # Mixed precision only: it is the recipe's precision, and the fp32 leg
+    # would add a second multi-minute remote compile for no extra coverage.
+    # ------------------------------------------------------------------
+    try:
+        progress("Restormer train-step section")
+        extra.update(bench_restormer_train_step(rng, cpu, accel))
+    except Exception as e:  # noqa: BLE001
+        extra["restormer_train_error"] = str(e)[:200]
+
     if headline == 0.0 and _report_cached(
             "headline section failed this run", partial_extra=extra):
         # the headline section died mid-run — the cached last-good measurement
@@ -625,6 +640,74 @@ def bench_train_step(rng, cpu, accel, gt=128, bs=16, iters=8) -> dict:
         gf = results.get("dcpt_step_gflop_bs16_128px")
         if gf:
             results[f"dcpt_train_step_{tag}_achieved_tflops"] = round(gf / dt / 1e3, 1)
+    return results
+
+
+def bench_restormer_train_step(rng, cpu, accel, gt=128, bs=8, iters=8) -> dict:
+    """DCPT pre-training step on Restormer (options/all_in_one/train/
+    train_Restormer_dcpt_5d.yml shapes: bs8 @128px, decoder_level hooks —
+    reversed they form the probe's shrinking pyramid — PromptIR_NoImg_DC on
+    the [96,96,192,384] reversed-decoder dims), mixed precision.  The MDTA whole-block kernel is default-on for fp32 AND bf16
+    forwards (PARITY "MDTA whole-block kernel A/B"), so this step is the
+    standing measurement that the delegation rule keeps it OUT of the
+    differentiated graph (tests/test_kernel_delegation.py pins the same
+    property structurally)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dcpt_tpu.models import build_model
+
+    opt = {
+        "name": "bench_restormer_train", "model_type": "DCPTModel", "scale": 1,
+        "num_gpu": 1, "manual_seed": 0, "is_train": True, "dist": False,
+        "rank": 0, "world_size": 1, "hook_names": "decoder_level", "init_size": gt,
+        "network_g": dict(RESTORMER_OPT),
+        "network_dc": {"type": "PromptIR_NoImg_DC", "feature_dims": [96, 96, 192, 384],
+                       "num_res_blocks": 2, "num_classes": 5, "downsample": False},
+        "path": {},
+        "train": {
+            "optim_g": {"type": "AdamW", "lr": 1e-4, "weight_decay": 1e-4},
+            "optim_dc": {"type": "AdamW", "lr": 1e-4, "weight_decay": 1e-4},
+            "scheduler": {"type": "CosineAnnealingRestartLR", "periods": [100], "restart_weights": [1]},
+            "classify_opt": {"type": "CrossEntropyLoss"},
+            "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0},
+            "mixed_precision": True,
+            "total_iter": 100,
+        },
+        "val": {"metrics": {}},
+    }
+    with jax.default_device(cpu):
+        model = build_model(opt)
+    state = jax.device_put(
+        (model.params_g, model.params_dc, model.opt_state_g, model.opt_state_dc), accel)
+    lq = jax.device_put(jnp.asarray(rng.random((bs, gt, gt, 3), dtype=np.float32)), accel)
+    gt_img = jax.device_put(jnp.asarray(rng.random((bs, gt, gt, 3), dtype=np.float32)), accel)
+    idx = jax.device_put(jnp.asarray(rng.integers(0, 5, bs), dtype=jnp.int32), accel)
+    lr = jnp.float32(1e-4)
+
+    results: dict[str, float] = {}
+    try:
+        cost = model._train_step.lower(*state, lq, gt_img, idx, lr, lr).compile().cost_analysis()
+        results["restormer_step_gflop_bs8_128px"] = round(cost.get("flops", 0.0) / 1e9, 1)
+    except Exception:
+        pass
+
+    def run(state, n):
+        pg, pdc, og, odc = state
+        for _ in range(n):
+            pg, pdc, og, odc, _ = model._train_step(pg, pdc, og, odc, lq, gt_img, idx, lr, lr)
+        np.asarray(jax.tree_util.tree_leaves(pg)[0]).ravel()[0]
+        return pg, pdc, og, odc
+
+    state = run(state, 1)  # compile + warm
+    t0 = time.perf_counter()
+    run(state, iters)
+    dt = (time.perf_counter() - t0) / iters
+    results["restormer_train_step_mixed_ms"] = round(dt * 1e3, 2)
+    results["restormer_train_step_mixed_mpix_s"] = round(bs * gt * gt / 1e6 / dt, 3)
+    gf = results.get("restormer_step_gflop_bs8_128px")
+    if gf:
+        results["restormer_train_step_mixed_achieved_tflops"] = round(gf / dt / 1e3, 1)
     return results
 
 

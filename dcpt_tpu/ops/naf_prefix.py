@@ -46,12 +46,32 @@ def naf_prefix_ref(x, ln_w, ln_b, w1, b1, wdw, bdw, eps: float = 1e-6):
         t, w1.reshape(1, 1, c, dw), (1, 1), ((0, 0), (0, 0)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     ) + b1
-    t = jax.lax.conv_general_dilated(
-        t, wdw.reshape(3, 3, 1, dw), (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=dw,
-    ) + bdw
+    if _dw_dense_enabled():
+        # DCPT_TPU_DW_DENSE=1 (trace-time, A/B lever for the train graph):
+        # the depthwise weights scattered onto the (3,3,DW,DW) channel
+        # diagonal make a DENSE conv — DW× more FLOPs, but on the MXU
+        # instead of the VPU's 9 shifted multiply-adds, and the scatter is
+        # differentiated through so weight grads land back on the diagonal.
+        # Measured end-to-end by scripts/bench_dw_dense_e2e.py (micro-
+        # benches through the tunnel only see dispatch — CLAUDE.md).
+        eye = jnp.eye(dw, dtype=wdw.dtype)
+        t = jax.lax.conv_general_dilated(
+            t, wdw.reshape(3, 3, 1, dw) * eye, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bdw
+    else:
+        t = jax.lax.conv_general_dilated(
+            t, wdw.reshape(3, 3, 1, dw), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=dw,
+        ) + bdw
     t1, t2 = jnp.split(t, 2, axis=-1)
     return t1 * t2
+
+
+def _dw_dense_enabled() -> bool:
+    import os
+
+    return os.environ.get("DCPT_TPU_DW_DENSE", "0") == "1"
 
 
 def _shift_h(t, dy):

@@ -1,18 +1,14 @@
-"""DCPT train-step A/B: twin-delegated backward vs the analytic Pallas
-backward (VERDICT r3 item 3).
+"""End-to-end A/B for the masked-dense dwconv reformulation (VERDICT r3
+item 5): the DCPT mixed train-step profile blames the NAFBlocks' grouped
+depthwise convs (VPU), and the dwconv microbench through the tunnel is
+dispatch-dominated (scripts/bench_dwconv_mxu.py measured 10–500 ms for
+sub-GFLOP ops with fwd+bwd occasionally "faster" than fwd — pure noise), so
+the question is settled the only way the tunnel allows: the REAL flagship
+train step, twin dwconv grouped (DCPT_TPU_DW_DENSE=0, shipped) vs masked
+dense on the MXU (=1), mixed precision, interleaved-min ×2.
 
-Baseline (DCPT_TPU_NAF_BWD=0): differentiated traces compile the pure-XLA
-autodiff graph of the jnp twin (the round-3 winner over kernel-fwd +
-twin-recompute-bwd, which lost 1.86×).
-Candidate (DCPT_TPU_NAF_BWD=1): fused Pallas forward + the hand-derived
-two-pass Pallas backward (ops/naf_block_bwd.py) at every stage the bwd tile
-picker accepts (c ≤ 256 — the shallow stages that hold the HBM traffic).
-
-Measures the flagship DCPT pre-training step (NAFNet-w64 + PromptIR_NoImg_DC,
-bs16 @128px) fp32 and mixed, interleaved-min ×2 (tunnel variance rules).
-In mixed, the arch's bf16 stage cap is lifted so the kernel path is traced
-(bf16 fwd kernels measured a tie and stay opt-in by default; this A/B decides
-the TRAIN routing).
+Usage: python scripts/bench_dw_dense_e2e.py
+Prints one JSON line: {"mixed_grouped_ms", "mixed_dense_ms", "speedup"}.
 """
 
 from __future__ import annotations
@@ -26,24 +22,23 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-ITERS = 16  # scanned INSIDE one jit dispatch — see below
+ITERS = 16  # scanned INSIDE one jit dispatch (tunnel dispatch overhead has
+# been observed near 0.5 s — 8 chained dispatches would flatten the A/B)
 REPS = 2
 
 
-def make_step(mixed: bool, naf_bwd: bool, rng, cpu, accel, gt=128, bs=16):
+def make_step(dense: bool, rng, cpu, accel, gt=128, bs=16):
     import functools
 
     import jax
     import jax.numpy as jnp
 
-    from dcpt_tpu.archs import nafnet_arch
     from dcpt_tpu.models import build_model
 
-    os.environ["DCPT_TPU_NAF_BWD"] = "1" if naf_bwd else "0"
-    nafnet_arch._NAF_BLOCK_MAXC = 4096 if (mixed and naf_bwd) else 0
+    os.environ["DCPT_TPU_DW_DENSE"] = "1" if dense else "0"
 
     opt = {
-        "name": "bench_naf_bwd", "model_type": "DCPTModel", "scale": 1, "num_gpu": 1,
+        "name": "bench_dw_dense", "model_type": "DCPTModel", "scale": 1, "num_gpu": 1,
         "manual_seed": 0, "is_train": True, "dist": False, "rank": 0, "world_size": 1,
         "hook_names": "ups", "init_size": gt,
         "network_g": {"type": "NAFNetBaseline", "width": 64, "enc_blk_nums": [1, 1, 1, 28],
@@ -57,7 +52,7 @@ def make_step(mixed: bool, naf_bwd: bool, rng, cpu, accel, gt=128, bs=16):
             "scheduler": {"type": "CosineAnnealingRestartLR", "periods": [100], "restart_weights": [1]},
             "classify_opt": {"type": "CrossEntropyLoss"},
             "pixel_opt": {"type": "PSNRLoss", "loss_weight": 1.0, "reduction": "mean"},
-            "mixed_precision": mixed,
+            "mixed_precision": True,
             "total_iter": 100,
         },
         "val": {"metrics": {}},
@@ -71,11 +66,6 @@ def make_step(mixed: bool, naf_bwd: bool, rng, cpu, accel, gt=128, bs=16):
     idx = jax.device_put(jnp.asarray(rng.integers(0, 5, bs), dtype=jnp.int32), accel)
     lr = jnp.float32(1e-4)
 
-    # K steps scanned inside ONE jit dispatch: the tunnel's per-dispatch
-    # overhead has been observed anywhere from ~ms to ~seconds (2026-08-19 it
-    # sat near 0.5 s), which at 8 chained dispatches would swamp a ~110 ms
-    # step and flatten any A/B to 1.0×.  scan compiles the body once, so the
-    # remote compile cost stays that of a single step.
     @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(6,))
     def multi(state, lq, gt_img, idx, lr_g, lr_dc, n):
         def body(st, _):
@@ -90,11 +80,9 @@ def make_step(mixed: bool, naf_bwd: bool, rng, cpu, accel, gt=128, bs=16):
         np.asarray(jax.tree_util.tree_leaves(state[0])[0]).ravel()[0]
         return state, losses
 
-    print(f"# compiling mixed={mixed} naf_bwd={naf_bwd}", file=sys.stderr, flush=True)
+    print(f"# compiling dense={dense}", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
-    # warm with n=ITERS so the timed executable is the one compiled here
-    # (static n → a different n would compile a second program)
-    state, losses = run(state, ITERS)
+    state, losses = run(state, ITERS)  # warm with the timed executable's n
     print(f"# compiled+first {ITERS} steps in {time.perf_counter() - t0:.1f}s "
           f"losses={jax.tree_util.tree_map(float, losses)}", file=sys.stderr, flush=True)
     return state, run
@@ -111,26 +99,25 @@ def main():
     rng = np.random.default_rng(0)
 
     out = {}
-    for mixed, tag in ((False, "fp32"), (True, "mixed")):
-        runs = {}
-        for naf_bwd in (False, True):
-            try:
-                runs[naf_bwd] = make_step(mixed, naf_bwd, rng, cpu, accel)
-            except Exception as e:  # noqa: BLE001 — record, keep the other leg
-                out[f"{tag}_bwd{int(naf_bwd)}_error"] = str(e)[:300]
-                print(f"# {tag} naf_bwd={naf_bwd} FAILED: {e}", file=sys.stderr, flush=True)
-        best = {k: float("inf") for k in runs}
-        for _ in range(REPS):
-            for k in runs:
-                state, run = runs[k]
-                t0 = time.perf_counter()
-                state, _ = run(state, ITERS)
-                best[k] = min(best[k], (time.perf_counter() - t0) / ITERS)
-                runs[k] = (state, run)
-        for k, dt in best.items():
-            out[f"{tag}_{'analytic' if k else 'twin'}_ms"] = round(dt * 1e3, 2)
-        if False in best and True in best:
-            out[f"{tag}_speedup"] = round(best[False] / best[True], 3)
+    runs = {}
+    for dense in (False, True):
+        try:
+            runs[dense] = make_step(dense, rng, cpu, accel)
+        except Exception as e:  # noqa: BLE001 — record, keep the other leg
+            out[f"dense{int(dense)}_error"] = str(e)[:300]
+            print(f"# dense={dense} FAILED: {e}", file=sys.stderr, flush=True)
+    best = {k: float("inf") for k in runs}
+    for _ in range(REPS):
+        for k in runs:
+            state, run = runs[k]
+            t0 = time.perf_counter()
+            state, _ = run(state, ITERS)
+            best[k] = min(best[k], (time.perf_counter() - t0) / ITERS)
+            runs[k] = (state, run)
+    for k, dt in best.items():
+        out[f"mixed_{'dense' if k else 'grouped'}_ms"] = round(dt * 1e3, 2)
+    if False in best and True in best:
+        out["speedup"] = round(best[False] / best[True], 3)
     print(json.dumps(out), flush=True)
 
 

@@ -1,0 +1,136 @@
+"""Kernel-delegation guard (VERDICT r3 item 6).
+
+The winner Pallas kernels are routed so that
+
+* PRIMAL-ONLY traces (inference) run the fused kernel, but
+* DIFFERENTIATED traces compile to exactly the pure-XLA autodiff graph of
+  the jnp twin — the custom-VJP ``_fwd`` delegates to ``jax.vjp(twin)``
+  (kernel-in-diff-path measured 1.86× slower end-to-end on the DCPT train
+  step: PARITY.md "NAFNet kernel A/B (round 3)"),
+* EXCEPT the opt-in NAF analytic backward (``DCPT_TPU_NAF_BWD=1``), where
+  the differentiated graph carries the fused forward + the hand-derived
+  Pallas backward and NO twin.
+
+bench.py's ``restormer_train_step_mixed_ms`` / ``dcpt_train_step_mixed_ms``
+perf-guard this on silicon; these tests pin the same property structurally
+(jaxpr inspection — backend-independent, no TPU needed) so a refactor that
+leaks a kernel into a train graph fails fast in CI, not at the next bench.
+
+Reference analog: the BASICSR_JIT CUDA ops always differentiate through
+their own backward kernels (/root/reference/basicsr/ops/layernorm/
+src/layernorm_kernel.cpp); the delegation rule is a measured TPU-side
+deviation, so it gets its own guard.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dcpt_tpu.archs import build_network
+from dcpt_tpu.ops import enable_pallas
+
+
+@pytest.fixture()
+def pallas_all():
+    # "all" makes the winner gates pass on the CPU test backend; we only
+    # TRACE (make_jaxpr) here, never execute, so un-interpreted Pallas is fine
+    enable_pallas("all")
+    yield
+    enable_pallas("off")
+
+
+RESTORMER_TINY = {
+    "type": "Restormer", "inp_channels": 3, "out_channels": 3, "dim": 48,
+    "num_blocks": [1, 1, 1, 1], "num_refinement_blocks": 1, "heads": [1, 2, 4, 8],
+    "ffn_expansion_factor": 2.66, "bias": False, "LayerNorm_type": "BiasFree",
+    "dual_pixel_task": False,
+}
+NAFNET_TINY = {
+    "type": "NAFNetBaseline", "width": 16, "enc_blk_nums": [1, 1],
+    "middle_blk_num": 1, "dec_blk_nums": [1, 1], "window_size": 16,
+}
+
+
+def _net_and_jaxprs(arch_opt, size):
+    net = build_network(dict(arch_opt))
+    x = jnp.zeros((1, size, size, 3), jnp.float32)
+    # init EXECUTES the forward (not a trace) — un-interpreted Pallas can't
+    # run on the CPU test backend, so params are built with kernels off
+    enable_pallas("off")
+    try:
+        params = net.init(jax.random.PRNGKey(0), x)["params"]
+    finally:
+        enable_pallas("all")
+
+    fwd = lambda p, x: net.apply({"params": p}, x)[0]  # noqa: E731
+    loss = lambda p, x: jnp.sum(fwd(p, x) ** 2)  # noqa: E731
+    fwd_jaxpr = str(jax.make_jaxpr(fwd)(params, x))
+    grad_jaxpr = str(jax.make_jaxpr(jax.grad(loss))(params, x))
+    return fwd_jaxpr, grad_jaxpr
+
+
+@pytest.mark.parametrize("arch_opt,size", [(RESTORMER_TINY, 64), (NAFNET_TINY, 64)])
+def test_kernel_fires_primal_only(pallas_all, arch_opt, size):
+    fwd_jaxpr, grad_jaxpr = _net_and_jaxprs(arch_opt, size)
+    assert "pallas_call" in fwd_jaxpr, (
+        f"{arch_opt['type']}: winner kernel did not fire on the primal trace "
+        "— the gate or tile picker regressed")
+    assert "pallas_call" not in grad_jaxpr, (
+        f"{arch_opt['type']}: a Pallas kernel leaked into the differentiated "
+        "graph — custom-VJP _fwd must delegate to the jnp twin "
+        "(PARITY 'NAFNet kernel A/B': 1.86× regression)")
+
+
+def test_naf_analytic_bwd_opt_in(pallas_all, monkeypatch):
+    """DCPT_TPU_NAF_BWD=1 is the sanctioned exception: the differentiated
+    graph keeps the fused forward AND gains the analytic Pallas backward."""
+    monkeypatch.setenv("DCPT_TPU_NAF_BWD", "1")
+    _, grad_jaxpr = _net_and_jaxprs(NAFNET_TINY, 64)
+    assert "pallas_call" in grad_jaxpr
+
+
+def test_dcpt_restormer_train_step_smoke():
+    """The bench_restormer_train_step config shape (DCPTModel + Restormer
+    encoder_level hooks + PromptIR_NoImg_DC probe on the encoder dims) builds
+    and takes one finite step — tiny dims, CPU, default kernel gating."""
+    from dcpt_tpu.models import build_model
+
+    gt, bs = 32, 2
+    opt = {
+        "name": "t_rest_dcpt", "model_type": "DCPTModel", "scale": 1,
+        "num_gpu": 1, "manual_seed": 0, "is_train": True, "dist": False,
+        # decoder_level taps REVERSED give the shrinking pyramid the DC probe
+        # needs: [dec1 (gt, 2d), dec2 (gt/2, 2d), dec3 (gt/4, 4d)] — encoder
+        # taps reversed GROW spatially and cannot feed the downsampling probe
+        "rank": 0, "world_size": 1, "hook_names": "decoder_level", "init_size": gt,
+        "network_g": {"type": "Restormer", "dim": 8, "num_blocks": [1, 1, 1, 1],
+                      "num_refinement_blocks": 1, "heads": [1, 2, 4, 8],
+                      "ffn_expansion_factor": 2.0, "bias": False,
+                      "LayerNorm_type": "BiasFree", "dual_pixel_task": False},
+        "network_dc": {"type": "PromptIR_NoImg_DC", "feature_dims": [16, 16, 32, 64],
+                       "num_res_blocks": 1, "num_classes": 5, "downsample": False},
+        "path": {},
+        "train": {
+            "optim_g": {"type": "AdamW", "lr": 1e-4, "weight_decay": 1e-4},
+            "optim_dc": {"type": "AdamW", "lr": 1e-4, "weight_decay": 1e-4},
+            "scheduler": {"type": "CosineAnnealingRestartLR", "periods": [100],
+                          "restart_weights": [1]},
+            "classify_opt": {"type": "CrossEntropyLoss"},
+            "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0},
+            "mixed_precision": True,
+            "total_iter": 100,
+        },
+        "val": {"metrics": {}},
+    }
+    model = build_model(opt)
+    rng = np.random.default_rng(0)
+    lq = jnp.asarray(rng.random((bs, gt, gt, 3), dtype=np.float32))
+    gt_img = jnp.asarray(rng.random((bs, gt, gt, 3), dtype=np.float32))
+    idx = jnp.asarray(rng.integers(0, 5, bs), dtype=jnp.int32)
+    lr = jnp.float32(1e-4)
+    pg, pdc, og, odc, losses = model._train_step(
+        model.params_g, model.params_dc, model.opt_state_g, model.opt_state_dc,
+        lq, gt_img, idx, lr, lr)
+    for v in jax.tree_util.tree_leaves(losses):
+        assert np.isfinite(np.asarray(v)).all()

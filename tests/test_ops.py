@@ -225,6 +225,34 @@ class TestNafFFN:
         g2 = jax.grad(lambda x: jnp.sum(naf_prefix_ref(x, ln_w, ln_b, w1, b1, wdw, bdw) ** 2))(x)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
 
+    def test_naf_prefix_dw_dense_matches_grouped(self, rng, monkeypatch):
+        """DCPT_TPU_DW_DENSE=1 (masked-dense dwconv on the MXU, the r4 train-
+        graph A/B lever) == grouped dwconv, forward and grads."""
+        from dcpt_tpu.ops.naf_prefix import naf_prefix_ref
+
+        b, h, w, c = 2, 8, 8, 32
+        dw = 2 * c
+        x = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32) * 0.3)
+        ln_w = jnp.asarray(1 + 0.1 * rng.standard_normal(c).astype(np.float32))
+        ln_b = jnp.asarray(0.1 * rng.standard_normal(c).astype(np.float32))
+        w1 = jnp.asarray(rng.standard_normal((c, dw)).astype(np.float32) * 0.05)
+        b1 = jnp.asarray(rng.standard_normal(dw).astype(np.float32) * 0.02)
+        wdw = jnp.asarray(rng.standard_normal((3, 3, dw)).astype(np.float32) * 0.1)
+        bdw = jnp.asarray(rng.standard_normal(dw).astype(np.float32) * 0.02)
+
+        loss = lambda x, wdw: jnp.sum(  # noqa: E731
+            naf_prefix_ref(x, ln_w, ln_b, w1, b1, wdw, bdw) ** 2)
+        monkeypatch.setenv("DCPT_TPU_DW_DENSE", "0")
+        ref = naf_prefix_ref(x, ln_w, ln_b, w1, b1, wdw, bdw)
+        gx_ref, gw_ref = jax.grad(loss, argnums=(0, 1))(x, wdw)
+        monkeypatch.setenv("DCPT_TPU_DW_DENSE", "1")
+        dense = naf_prefix_ref(x, ln_w, ln_b, w1, b1, wdw, bdw)
+        gx_d, gw_d = jax.grad(loss, argnums=(0, 1))(x, wdw)
+        np.testing.assert_allclose(np.asarray(dense), np.asarray(ref), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(gx_d), np.asarray(gx_ref), atol=1e-4)
+        # weight grads must land back on the diagonal with nothing lost
+        np.testing.assert_allclose(np.asarray(gw_d), np.asarray(gw_ref), atol=1e-3)
+
     def test_nafblock_fused_ffn_matches(self, rng):
         """NAFNet forward identical with the fused FFN path (interpret mode)."""
         from dcpt_tpu.archs.nafnet_arch import NAFNetBaseline
