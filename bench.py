@@ -33,6 +33,11 @@ Methodology notes (important on remote-attached TPUs):
   tunnel-attached devices, so timing uses a CHAINED dependency (output feeds
   the next forward; the train step feeds its own donated state) ended by a
   host materialization — the wall-clock then provably covers all iterations.
+* The chain runs INSIDE one jitted ``lax.scan`` program (round 4): per-
+  dispatch tunnel overhead has been observed from ~ms to ~0.5–12 s, and a
+  Python-level chain multiplies it by the iteration count; scanning
+  amortizes one dispatch across the whole window while preserving the
+  chained-dependency semantics (and compiles the body once).
 * Params are initialized on the host CPU device and transferred once.
 * The tunnel's latency varies up to 3× between runs; batch-saturated timings
   amortize it, and A/B comparisons interleave passes and take the per-path
@@ -285,32 +290,48 @@ def main() -> None:
         with jax.default_device(cpu):
             return net.init(jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)))["params"]
 
+    def _scan_loop(net, dtype, iters):
+        """ONE jitted program running ``iters`` chained forwards via lax.scan.
+
+        The chain previously lived in Python (one dispatch per forward);
+        the tunnel's per-dispatch overhead has been observed anywhere from
+        ~ms (round 3) to ~0.5–12 s (2026-08-19), which at 10 dispatches
+        swamps every number.  scan keeps the chained-dependency semantics
+        (each forward consumes the previous output) inside a single
+        dispatch, and compiles the body once, so remote compile cost stays
+        that of one forward."""
+        def loop(p, x):
+            def body(y, _):
+                return net.apply({"params": p}, y)[0].astype(dtype), None
+            y, _ = jax.lax.scan(body, x, None, length=iters)
+            return y
+        return jax.jit(loop)
+
     def measure(net, params, size, bs, dtype, iters=ITERS, want_flops=False):
         x_np = rng.random((bs, size, size, 3), dtype=np.float32)
         x = jax.device_put(jnp.asarray(x_np, dtype=dtype), accel)
         p = jax.device_put(jax.tree.map(lambda a: a.astype(dtype), params), accel)
-        f = jax.jit(lambda p, x: net.apply({"params": p}, x)[0].astype(dtype))
         gflops = None
         if want_flops:
             try:
+                f = jax.jit(lambda p, x: net.apply({"params": p}, x)[0].astype(dtype))
                 cost = f.lower(p, x).compile().cost_analysis()
                 gflops = cost.get("flops", 0.0) / 1e9
             except Exception:
                 pass
-        np.asarray(f(p, x)[0, 0, 0, 0])  # compile + real warm-up
+        loop = _scan_loop(net, dtype, iters)
+        np.asarray(loop(p, x)[0, 0, 0, 0])  # compile + real warm-up
         t0 = time.perf_counter()
-        y = x
-        for _ in range(iters):
-            y = f(p, y)
-        np.asarray(y[0, 0, 0, 0])
+        np.asarray(loop(p, x)[0, 0, 0, 0])
         dt = (time.perf_counter() - t0) / iters
         mpix = bs * size * size / 1e6 / dt
         return dt, mpix, gflops
 
     def measure_ab(net, params, size, bs, dtype, modes, iters=ITERS, reps=2):
-        """Interleaved A/B: trace one jitted fn per pallas mode, then time the
-        chained loop alternately per rep and keep each mode's MIN (PARITY
-        "fused window attention" methodology — robust to tunnel spikes)."""
+        """Interleaved A/B: trace one scanned loop per pallas mode, then time
+        alternately per rep and keep each mode's MIN (PARITY "fused window
+        attention" methodology — robust to tunnel spikes; the scan makes it
+        robust to tunnel DISPATCH overhead too, see _scan_loop)."""
         from dcpt_tpu.ops import enable_pallas
 
         x = jax.device_put(jnp.asarray(rng.random((bs, size, size, 3), dtype=np.float32), dtype=dtype), accel)
@@ -319,7 +340,7 @@ def main() -> None:
         for mode in modes:
             enable_pallas(mode)
             try:
-                f = jax.jit(lambda p, x, _net=net: _net.apply({"params": p}, x)[0].astype(dtype))
+                f = _scan_loop(net, dtype, iters)
                 np.asarray(f(p, x)[0, 0, 0, 0])  # trace+compile UNDER this mode
                 fns[mode] = f
             except Exception as e:  # noqa: BLE001 — one dead path (e.g. a
@@ -333,10 +354,7 @@ def main() -> None:
         for _ in range(reps):
             for mode, f in fns.items():
                 t0 = time.perf_counter()
-                y = x
-                for _ in range(iters):
-                    y = f(p, y)
-                np.asarray(y[0, 0, 0, 0])
+                np.asarray(f(p, x)[0, 0, 0, 0])
                 best[mode] = min(best[mode], (time.perf_counter() - t0) / iters)
         out = {mode: bs * size * size / 1e6 / dt for mode, dt in best.items()}
         for mode in modes:
@@ -624,16 +642,10 @@ def bench_train_step(rng, cpu, accel, gt=128, bs=16, iters=8) -> dict:
             except Exception:
                 pass
 
-        def run(state, n):
-            pg, pdc, og, odc = state
-            for _ in range(n):
-                pg, pdc, og, odc, _ = model._train_step(pg, pdc, og, odc, lq, gt_img, idx, lr, lr)
-            np.asarray(jax.tree_util.tree_leaves(pg)[0]).ravel()[0]
-            return pg, pdc, og, odc
-
-        state = run(state, 1)  # compile + warm
+        run = _scan_train_loop(model, lq, gt_img, idx, lr, iters)
+        state = run(state)  # compile + warm (same executable as the timed one)
         t0 = time.perf_counter()
-        run(state, iters)
+        run(state)
         dt = (time.perf_counter() - t0) / iters
         results[f"dcpt_train_step_{tag}_ms"] = round(dt * 1e3, 2)
         results[f"dcpt_train_step_{tag}_mpix_s"] = round(bs * gt * gt / 1e6 / dt, 3)
@@ -641,6 +653,31 @@ def bench_train_step(rng, cpu, accel, gt=128, bs=16, iters=8) -> dict:
         if gf:
             results[f"dcpt_train_step_{tag}_achieved_tflops"] = round(gf / dt / 1e3, 1)
     return results
+
+
+def _scan_train_loop(model, lq, gt_img, idx, lr, iters):
+    """``iters`` train steps scanned inside ONE jit dispatch (the analog of
+    the inference _scan_loop: per-dispatch tunnel overhead must amortize
+    across the whole measured window, not multiply with it)."""
+    import functools
+
+    import jax
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def multi(state):
+        def body(st, _):
+            pg, pdc, og, odc = st
+            pg, pdc, og, odc, _ = model._train_step(pg, pdc, og, odc, lq, gt_img, idx, lr, lr)
+            return (pg, pdc, og, odc), None
+        st, _ = jax.lax.scan(body, state, None, length=iters)
+        return st
+
+    def run(state):
+        state = multi(state)
+        np.asarray(jax.tree_util.tree_leaves(state[0])[0]).ravel()[0]
+        return state
+
+    return run
 
 
 def bench_restormer_train_step(rng, cpu, accel, gt=128, bs=8, iters=8) -> dict:
@@ -692,16 +729,10 @@ def bench_restormer_train_step(rng, cpu, accel, gt=128, bs=8, iters=8) -> dict:
     except Exception:
         pass
 
-    def run(state, n):
-        pg, pdc, og, odc = state
-        for _ in range(n):
-            pg, pdc, og, odc, _ = model._train_step(pg, pdc, og, odc, lq, gt_img, idx, lr, lr)
-        np.asarray(jax.tree_util.tree_leaves(pg)[0]).ravel()[0]
-        return pg, pdc, og, odc
-
-    state = run(state, 1)  # compile + warm
+    run = _scan_train_loop(model, lq, gt_img, idx, lr, iters)
+    state = run(state)  # compile + warm (same executable as the timed one)
     t0 = time.perf_counter()
-    run(state, iters)
+    run(state)
     dt = (time.perf_counter() - t0) / iters
     results["restormer_train_step_mixed_ms"] = round(dt * 1e3, 2)
     results["restormer_train_step_mixed_mpix_s"] = round(bs * gt * gt / 1e6 / dt, 3)

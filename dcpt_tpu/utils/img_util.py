@@ -101,6 +101,27 @@ def tensor2img(tensor, rgb2bgr: bool = True, out_type=np.uint8, min_max: tuple =
     return _toimg(tensor)
 
 
+def tensor2img_fast(tensor, rgb2bgr: bool = True, min_max: tuple = (0, 1)):
+    """Single-image fast path: (1, H, W, C) device array → HWC BGR uint8.
+
+    Reference: img_util.py:109-123.  Matches its semantics exactly,
+    including the deliberate difference from ``tensor2img``: the uint8 cast
+    TRUNCATES (torch ``.type(torch.uint8)``) instead of rounding — that is
+    what makes it "fast", and outputs can differ by 1 LSB from tensor2img.
+    """
+    img_np = np.asarray(tensor, dtype=np.float32)
+    if img_np.ndim == 4:
+        if img_np.shape[0] != 1:
+            raise ValueError(f"tensor2img_fast supports (1, h, w, c) only, got {img_np.shape}")
+        img_np = img_np[0]
+    img_np = np.clip(img_np, min_max[0], min_max[1])
+    img_np = (img_np - min_max[0]) / (min_max[1] - min_max[0]) * 255
+    img_np = img_np.astype(np.uint8)  # truncating cast, as the reference
+    if rgb2bgr:
+        img_np = cv2.cvtColor(img_np, cv2.COLOR_RGB2BGR)
+    return img_np
+
+
 def imwrite(img: np.ndarray, file_path: str, params=None, auto_mkdir: bool = True) -> None:
     """cv2.imwrite with parent-dir creation (reference: img_util.py:156-179)."""
     if auto_mkdir:

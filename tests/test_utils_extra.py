@@ -152,3 +152,28 @@ class TestFlowUtil:
         np.testing.assert_array_equal(ours_dx, ref_dx)
         np.testing.assert_array_equal(ours_dy, ref_dy)
         np.testing.assert_allclose(dequantize_flow(ours_dx, ours_dy), ref_deq(ref_dx, ref_dy), atol=1e-12)
+
+
+class TestTensor2ImgFast:
+    def test_matches_reference(self, reference, rng):
+        """tensor2img_fast == the reference's torch implementation bit-exact,
+        including its truncating (non-rounding) uint8 cast
+        (/root/reference/basicsr/utils/img_util.py:109-123)."""
+        import torch
+
+        from basicsr.utils.img_util import tensor2img_fast as ref_fn
+
+        from dcpt_tpu.utils.img_util import tensor2img_fast
+
+        x = rng.random((1, 17, 23, 3)).astype(np.float32) * 1.4 - 0.2  # exercises clamp
+        theirs = ref_fn(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        ours = tensor2img_fast(jnp.asarray(x))
+        np.testing.assert_array_equal(ours, theirs)
+
+    def test_vs_tensor2img_within_one_lsb(self, rng):
+        from dcpt_tpu.utils.img_util import tensor2img, tensor2img_fast
+
+        x = rng.random((1, 9, 11, 3)).astype(np.float32)
+        slow = tensor2img(jnp.asarray(x))
+        fast = tensor2img_fast(jnp.asarray(x))
+        assert np.abs(slow.astype(np.int16) - fast.astype(np.int16)).max() <= 1
