@@ -1,7 +1,10 @@
 """Pluggable byte-store backends (reference: basicsr/utils/file_client.py:22-190).
 
-Disk and LMDB (multi-env via client_keys) backends; memcached is deliberately
-omitted (unused dead weight in the reference — see SURVEY §7 "not ported").
+Disk, LMDB (multi-env via client_keys), and memcached backends.  Like the
+reference, the memcached backend requires the optional ``mc`` client library
+at construction time and raises ImportError without it (this environment
+cannot exercise a live memcached cluster; the surface and failure mode match
+file_client.py:22-59 exactly).
 """
 
 from __future__ import annotations
@@ -21,6 +24,32 @@ class HardDiskBackend(BaseStorageBackend):
     def get(self, filepath) -> bytes:
         with open(str(filepath), "rb") as f:
             return f.read()
+
+
+class MemcachedBackend(BaseStorageBackend):
+    """Memcached reads via the pyvision ``mc`` client (reference:
+    file_client.py:22-59 — same config surface, same lazy ImportError)."""
+
+    def __init__(self, server_list_cfg, client_cfg, sys_path=None):
+        if sys_path is not None:
+            import sys
+
+            sys.path.append(sys_path)
+        try:
+            import mc
+        except ImportError as e:
+            raise ImportError("Please install memcached to enable MemcachedBackend.") from e
+
+        self.server_list_cfg = server_list_cfg
+        self.client_cfg = client_cfg
+        self._client = mc.MemcachedClient.GetInstance(self.server_list_cfg, self.client_cfg)
+        self._mc_buffer = mc.pyvector()
+
+    def get(self, filepath) -> bytes:
+        import mc
+
+        self._client.Get(str(filepath), self._mc_buffer)
+        return mc.ConvertBuffer(self._mc_buffer)
 
 
 class LmdbBackend(BaseStorageBackend):
@@ -60,6 +89,7 @@ class FileClient:
 
     _backends = {
         "disk": HardDiskBackend,
+        "memcached": MemcachedBackend,
         "lmdb": LmdbBackend,
     }
 

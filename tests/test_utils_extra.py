@@ -177,3 +177,74 @@ class TestTensor2ImgFast:
         slow = tensor2img(jnp.asarray(x))
         fast = tensor2img_fast(jnp.asarray(x))
         assert np.abs(slow.astype(np.int16) - fast.astype(np.int16)).max() <= 1
+
+
+class TestH52VTP:
+    def _surface(self, path, n=7):
+        import h5py
+
+        rng = np.random.default_rng(3)
+        with h5py.File(path, "w") as f:
+            f["xcoordinates"] = np.linspace(-1, 1, n)
+            f["ycoordinates"] = np.linspace(-1, 1, n)
+            f["train_loss"] = (rng.random((n, n)) * 150).astype(np.float64)  # exercises zmax clip
+
+    def test_matches_reference_byte_exact(self, reference, tmp_path):
+        """Default (polys) mode output is byte-identical to the reference's
+        writer (/root/reference/basicsr/utils/h52vtp.py:32-325), including
+        its line-wrapping quirks."""
+        from basicsr.utils.h52vtp import h5_to_vtp as ref_fn
+
+        from dcpt_tpu.utils.h52vtp import h5_to_vtp
+
+        a, b = tmp_path / "ref.h5", tmp_path / "ours.h5"
+        self._surface(str(a))
+        self._surface(str(b))
+        ref_fn(str(a), "train_loss", log=True, zmax=100)
+        ours = h5_to_vtp(str(b), "train_loss", log=True, zmax=100)
+        ref_out = str(a)[:-3] + "_train_loss_zmax=100_log.vtp"
+        assert open(ours).read() == open(ref_out).read()
+
+    def test_interp_runs(self, tmp_path):
+        from dcpt_tpu.utils.h52vtp import h5_to_vtp
+
+        p = tmp_path / "s.h5"
+        self._surface(str(p))
+        out = h5_to_vtp(str(p), "train_loss", log=False, zmax=-1, interp=16)
+        assert "16" not in out or out.endswith(".vtp")
+        txt = open(out).read()
+        assert txt.startswith("<VTKFile") and txt.rstrip().endswith("</VTKFile>")
+
+
+class TestFileClient:
+    def test_disk_and_dispatch(self, tmp_path):
+        from dcpt_tpu.utils.file_client import FileClient
+
+        p = tmp_path / "x.bin"
+        p.write_bytes(b"\x00\x01payload")
+        assert FileClient("disk").get(p) == b"\x00\x01payload"
+        with pytest.raises(ValueError, match="not supported"):
+            FileClient("s3")
+
+    def test_memcached_requires_mc(self):
+        """Surface parity with the reference (file_client.py:22-59): the
+        backend is registered and fails at construction with the same
+        ImportError when the optional ``mc`` client is absent."""
+        from dcpt_tpu.utils.file_client import FileClient
+
+        assert "memcached" in FileClient._backends
+        with pytest.raises(ImportError, match="memcached"):
+            FileClient("memcached", server_list_cfg="/tmp/s.conf", client_cfg="/tmp/c.conf")
+
+    def test_lmdb_roundtrip(self, tmp_path):
+        lmdb = pytest.importorskip("lmdb")
+
+        from dcpt_tpu.utils.file_client import FileClient
+
+        db = str(tmp_path / "db.lmdb")
+        env = lmdb.open(db, map_size=1 << 20)
+        with env.begin(write=True) as txn:
+            txn.put(b"k1", b"v1")
+        env.close()
+        fc = FileClient("lmdb", db_paths=db)
+        assert fc.get("k1") == b"v1"
