@@ -358,13 +358,22 @@ def naf_block_fused(x, n1w, n1b, w1, b1, wdw, bdw, wsca, bsca, w3, b3, beta,
                          n2w, n2b, w4, b4, w5, b5, gamma, eps, th, interpret)
 
 
-def _analytic_bwd_enabled() -> bool:
-    """DCPT_TPU_NAF_BWD=1 routes differentiated traces through the fused
-    forward + the hand-derived Pallas backward (naf_block_bwd.py) instead of
-    the twin delegation.  Read at trace time so A/B harnesses can flip it."""
+def _analytic_bwd_enabled(dtype) -> bool:
+    """DCPT_TPU_NAF_BWD tri-state: unset/auto routes fp32 differentiated
+    traces through the fused forward + the hand-derived Pallas backward
+    (naf_block_bwd.py) — the measured 1.102× train-step winner (PARITY
+    "Analytic Pallas NAFBlock backward") — while bf16 keeps the twin
+    delegation (measured tie, 0.997×).  "1" forces the analytic path for
+    both dtypes, "0" forces twin delegation (A/B levers).  Read at trace
+    time so harnesses can flip it."""
     import os
 
-    return os.environ.get("DCPT_TPU_NAF_BWD", "0") == "1"
+    mode = os.environ.get("DCPT_TPU_NAF_BWD", "auto")
+    if mode == "1":
+        return True
+    if mode == "0":
+        return False
+    return dtype == jnp.float32
 
 
 def _fwd(x, n1w, n1b, w1, b1, wdw, bdw, wsca, bsca, w3, b3, beta,
@@ -377,10 +386,11 @@ def _fwd(x, n1w, n1b, w1, b1, wdw, bdw, wsca, bsca, w3, b3, beta,
     # 3)".)  Primal-only traces — inference — never enter _fwd and keep the
     # fused kernel.
     #
-    # DCPT_TPU_NAF_BWD=1 (round-4 lever): fused forward + analytic Pallas
-    # backward — no twin in the graph at all (where the bwd tile picker
-    # accepts the geometry).
-    if _analytic_bwd_enabled():
+    # DCPT_TPU_NAF_BWD auto (round-4 winner): fp32 traces get the fused
+    # forward + analytic Pallas backward — no twin in the graph at all
+    # (where the bwd tile picker accepts the geometry); bf16 stays on the
+    # twin (measured tie).
+    if _analytic_bwd_enabled(x.dtype):
         from .naf_block_bwd import pick_bwd_tile
 
         bh, bw, c = x.shape[1], x.shape[2], x.shape[3]

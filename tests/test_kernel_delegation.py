@@ -7,9 +7,11 @@ The winner Pallas kernels are routed so that
   the jnp twin — the custom-VJP ``_fwd`` delegates to ``jax.vjp(twin)``
   (kernel-in-diff-path measured 1.86× slower end-to-end on the DCPT train
   step: PARITY.md "NAFNet kernel A/B (round 3)"),
-* EXCEPT the opt-in NAF analytic backward (``DCPT_TPU_NAF_BWD=1``), where
-  the differentiated graph carries the fused forward + the hand-derived
-  Pallas backward and NO twin.
+* EXCEPT the NAF analytic backward (``DCPT_TPU_NAF_BWD`` tri-state): the
+  auto default routes fp32 differentiated traces through the fused forward
+  + the hand-derived Pallas backward and NO twin (measured 1.102× train-step
+  winner, PARITY "Analytic Pallas NAFBlock backward"); bf16 keeps the twin
+  delegation (measured tie); "0"/"1" force the two paths for A/B.
 
 bench.py's ``restormer_train_step_mixed_ms`` / ``dcpt_train_step_mixed_ms``
 perf-guard this on silicon; these tests pin the same property structurally
@@ -52,7 +54,7 @@ NAFNET_TINY = {
 }
 
 
-def _net_and_jaxprs(arch_opt, size):
+def _net_and_jaxprs(arch_opt, size, dtype=jnp.float32):
     net = build_network(dict(arch_opt))
     x = jnp.zeros((1, size, size, 3), jnp.float32)
     # init EXECUTES the forward (not a trace) — un-interpreted Pallas can't
@@ -62,17 +64,24 @@ def _net_and_jaxprs(arch_opt, size):
         params = net.init(jax.random.PRNGKey(0), x)["params"]
     finally:
         enable_pallas("all")
+    # the mixed train path casts params AND input (sr_model.py:164-165)
+    params = jax.tree_util.tree_map(lambda t: t.astype(dtype), params)
+    x = x.astype(dtype)
 
     fwd = lambda p, x: net.apply({"params": p}, x)[0]  # noqa: E731
-    loss = lambda p, x: jnp.sum(fwd(p, x) ** 2)  # noqa: E731
+    loss = lambda p, x: jnp.sum(fwd(p, x).astype(jnp.float32) ** 2)  # noqa: E731
     fwd_jaxpr = str(jax.make_jaxpr(fwd)(params, x))
     grad_jaxpr = str(jax.make_jaxpr(jax.grad(loss))(params, x))
     return fwd_jaxpr, grad_jaxpr
 
 
-@pytest.mark.parametrize("arch_opt,size", [(RESTORMER_TINY, 64), (NAFNET_TINY, 64)])
-def test_kernel_fires_primal_only(pallas_all, arch_opt, size):
-    fwd_jaxpr, grad_jaxpr = _net_and_jaxprs(arch_opt, size)
+@pytest.mark.parametrize("arch_opt,size,dtype", [
+    (RESTORMER_TINY, 64, jnp.float32),
+    (RESTORMER_TINY, 64, jnp.bfloat16),
+])
+def test_kernel_fires_primal_only(pallas_all, monkeypatch, arch_opt, size, dtype):
+    monkeypatch.delenv("DCPT_TPU_NAF_BWD", raising=False)
+    fwd_jaxpr, grad_jaxpr = _net_and_jaxprs(arch_opt, size, dtype)
     assert "pallas_call" in fwd_jaxpr, (
         f"{arch_opt['type']}: winner kernel did not fire on the primal trace "
         "— the gate or tile picker regressed")
@@ -82,11 +91,43 @@ def test_kernel_fires_primal_only(pallas_all, arch_opt, size):
         "(PARITY 'NAFNet kernel A/B': 1.86× regression)")
 
 
-def test_naf_analytic_bwd_opt_in(pallas_all, monkeypatch):
-    """DCPT_TPU_NAF_BWD=1 is the sanctioned exception: the differentiated
-    graph keeps the fused forward AND gains the analytic Pallas backward."""
+def test_naf_bf16_stays_xla(pallas_all, monkeypatch):
+    """NAFNet bf16: the whole-block kernel measured a TIE in both directions
+    (fwd A/B and the analytic-backward A/B), so bf16 graphs stay pure XLA —
+    no Pallas on either the primal or the differentiated trace."""
+    monkeypatch.delenv("DCPT_TPU_NAF_BWD", raising=False)
+    fwd_jaxpr, grad_jaxpr = _net_and_jaxprs(NAFNET_TINY, 64, jnp.bfloat16)
+    assert "pallas_call" not in fwd_jaxpr
+    assert "pallas_call" not in grad_jaxpr
+
+
+def test_naf_analytic_bwd_auto_fp32(pallas_all, monkeypatch):
+    """The auto default (env unset) routes fp32 differentiated traces
+    through the fused forward + the analytic Pallas backward — the measured
+    1.102× train-step winner — with NO twin in the graph."""
+    monkeypatch.delenv("DCPT_TPU_NAF_BWD", raising=False)
+    fwd_jaxpr, grad_jaxpr = _net_and_jaxprs(NAFNET_TINY, 64, jnp.float32)
+    assert "pallas_call" in fwd_jaxpr
+    assert "pallas_call" in grad_jaxpr, (
+        "fp32 auto default must carry the analytic Pallas backward")
+
+
+def test_naf_analytic_bwd_force_off(pallas_all, monkeypatch):
+    """DCPT_TPU_NAF_BWD=0 forces twin delegation even on fp32 (A/B lever)."""
+    monkeypatch.setenv("DCPT_TPU_NAF_BWD", "0")
+    _, grad_jaxpr = _net_and_jaxprs(NAFNET_TINY, 64, jnp.float32)
+    assert "pallas_call" not in grad_jaxpr
+
+
+def test_naf_analytic_bwd_force_on_bf16(pallas_all, monkeypatch):
+    """DCPT_TPU_NAF_BWD=1 + a lifted bf16 stage cap forces the analytic path
+    for bf16 (the scripts/bench_naf_bwd.py mixed A/B leg; measured a tie and
+    stays opt-in)."""
+    from dcpt_tpu.archs import nafnet_arch
+
     monkeypatch.setenv("DCPT_TPU_NAF_BWD", "1")
-    _, grad_jaxpr = _net_and_jaxprs(NAFNET_TINY, 64)
+    monkeypatch.setattr(nafnet_arch, "_NAF_BLOCK_MAXC", 4096)
+    _, grad_jaxpr = _net_and_jaxprs(NAFNET_TINY, 64, jnp.bfloat16)
     assert "pallas_call" in grad_jaxpr
 
 
