@@ -317,7 +317,8 @@ def pick_tiles(h: int, w: int, c: int, f2: int) -> tuple[int, int] | None:
 
 def _block_pallas(x, n1w, n1b, wqkv, wdwq, temperature, wproj,
                   n2w, n2b, win_, wdwf, wout,
-                  heads, use_softmax, ln_bias, eps, th, interpret, sw=None):
+                  heads, use_softmax, ln_bias, eps, th, interpret, sw=None,
+                  with_res: bool = False):
     b, h, w, c = x.shape
     f2 = win_.shape[1] // 2
     n_t = h // th
@@ -355,6 +356,12 @@ def _block_pallas(x, n1w, n1b, wqkv, wdwq, temperature, wproj,
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
         interpret=interpret,
     )(x, halo, v, vhalo, attn, wproj, n2w[None], n2b[None], win_, wdwf, wout)
+    if with_res:
+        # attention residuals for the analytic backward (mdta_block_bwd.py):
+        # post-dwconv v (already an HBM output of P1), the raw Gram + squared
+        # norms (the L2-norm backward is host C×C math), and the attention
+        # micro-matrix itself.
+        return z, v, gram, qn2[:, 0], kn2[:, 0], attn
     return z
 
 
@@ -371,17 +378,60 @@ def mdta_block_fused(x, n1w, n1b, wqkv, wdwq, temperature, wproj,
                          heads, use_softmax, ln_bias, eps, th, interpret, sw)
 
 
+def _analytic_bwd_enabled(dtype) -> bool:
+    """DCPT_TPU_MDTA_BWD tri-state (mirrors DCPT_TPU_NAF_BWD, naf_block.py):
+    "1" routes differentiated traces through the fused forward + the
+    hand-derived two-pass Pallas backward (mdta_block_bwd.py) for both
+    dtypes, "0" forces twin delegation, unset = measured-winner policy.
+    Read at trace time so A/B harnesses can flip it."""
+    mode = _os.environ.get("DCPT_TPU_MDTA_BWD", "auto")
+    if mode == "1":
+        return True
+    if mode == "0":
+        return False
+    # auto: twin delegation until the train-step A/B on silicon picks the
+    # winner per dtype (scripts/bench_mdta_bwd.py — the NAF methodology).
+    return False
+
+
 def _fwd(x, n1w, n1b, wqkv, wdwq, temperature, wproj, n2w, n2b, win_, wdwf, wout,
          heads, use_softmax, ln_bias, eps, th, interpret, sw):
-    # Differentiated path: hand XLA the jnp twin outright (see naf_block.py)
+    # Differentiated path, twin delegation (default): skip the kernel
+    # ENTIRELY and hand XLA the jnp twin, so a train step compiles to exactly
+    # the autodiff graph it would have without the kernel (running the kernel
+    # forward + recomputing the twin in _bwd is the measured 1.86× NAF
+    # regression — see naf_block.py).  Primal-only traces — inference —
+    # never enter _fwd and keep the fused kernel.
+    #
+    # DCPT_TPU_MDTA_BWD=1 (or the measured auto policy): fused forward +
+    # analytic Pallas backward — no twin in the graph at all (full-width
+    # geometries the bwd tile picker accepts).
+    if _analytic_bwd_enabled(x.dtype) and (sw is None or sw == x.shape[2]):
+        from .mdta_block_bwd import pick_bwd_tile
+
+        bth = pick_bwd_tile(x.shape[1], x.shape[2], x.shape[3], win_.shape[1] // 2)
+        if bth is not None:
+            z, v, gram, qn2, kn2, attn = _block_pallas(
+                x, n1w, n1b, wqkv, wdwq, temperature, wproj,
+                n2w, n2b, win_, wdwf, wout,
+                heads, use_softmax, ln_bias, eps, th, interpret, sw, with_res=True)
+            res = (x, n1w, n1b, wqkv, wdwq, temperature, wproj, n2w, n2b,
+                   win_, wdwf, wout, v, gram, qn2, kn2, attn)
+            return z, res
     out, vjp = jax.vjp(
         lambda *a: mdta_block_ref(*a, heads, use_softmax, ln_bias, eps),
         x, n1w, n1b, wqkv, wdwq, temperature, wproj, n2w, n2b, win_, wdwf, wout)
     return out, vjp
 
 
-def _bwd(heads, use_softmax, ln_bias, eps, th, interpret, sw, vjp, g):
-    return vjp(g)
+def _bwd(heads, use_softmax, ln_bias, eps, th, interpret, sw, res, g):
+    if isinstance(res, tuple):
+        from .mdta_block_bwd import mdta_block_bwd, pick_bwd_tile
+
+        x, win_w = res[0], res[9]
+        bth = pick_bwd_tile(x.shape[1], x.shape[2], x.shape[3], win_w.shape[1] // 2)
+        return mdta_block_bwd(*res, g, heads, use_softmax, ln_bias, eps, bth, interpret)
+    return res(g)
 
 
 mdta_block_fused.defvjp(_fwd, _bwd)

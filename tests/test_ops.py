@@ -705,6 +705,52 @@ class TestMDTABlockFused:
         g2 = jax.grad(lambda x: jnp.sum(mdta_block_ref(x, *rest, 3, False, False, 1e-6) ** 2))(x)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
 
+    @pytest.mark.parametrize("use_softmax,ln_bias,eps,th",
+                             [(False, False, 1e-6, 4), (True, True, 1e-5, 8),
+                              (False, False, 1e-6, 16)])
+    def test_analytic_backward_matches_vjp(self, rng, use_softmax, ln_bias, eps, th):
+        """Hand-derived two-pass Pallas backward == jax.vjp of the twin on all
+        12 cotangents (interpret), both flavours (Restormer ReLU/BiasFree and
+        PromptIR softmax/WithBias), incl. the n_t==1 degenerate tile and the
+        global attention/L2-norm coupling paths."""
+        from dcpt_tpu.ops.mdta_block import _block_pallas, mdta_block_ref
+        from dcpt_tpu.ops.mdta_block_bwd import mdta_block_bwd
+
+        x, rest = self._args(rng)
+        args = (x,) + rest
+        out, vjp = jax.vjp(lambda *a: mdta_block_ref(*a, 3, use_softmax, ln_bias, eps), *args)
+        dz = jnp.asarray(rng.standard_normal(out.shape).astype(np.float32))
+        ref = vjp(dz)
+        _, v, gram, qn2, kn2, attn = _block_pallas(
+            *args, 3, use_softmax, ln_bias, eps, 8, True, None, with_res=True)
+        got = mdta_block_bwd(*args, v, gram, qn2, kn2, attn, dz,
+                             3, use_softmax, ln_bias, eps, th, interpret=True)
+        assert len(got) == len(ref) == 12
+        for i, (a, b) in enumerate(zip(got, ref)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4,
+                err_msg=f"cotangent {i} mismatch")
+
+    def test_fused_vjp_env_flag_routes_analytic(self, rng, monkeypatch):
+        """DCPT_TPU_MDTA_BWD=1: grads through mdta_block_fused come from the
+        analytic kernel and still match the twin's autodiff."""
+        from dcpt_tpu.ops.mdta_block import mdta_block_fused, mdta_block_ref
+
+        monkeypatch.setenv("DCPT_TPU_MDTA_BWD", "1")
+        monkeypatch.setenv("DCPT_TPU_MDTA_BWD_TH", "8")
+        x, rest = self._args(rng)
+
+        def loss(fn, x, wqkv, temp):
+            a = (x,) + rest[:2] + (wqkv, rest[3], temp) + rest[5:]
+            return jnp.sum(fn(*a) ** 2)
+
+        fused = lambda *a: mdta_block_fused(*a, 3, True, True, 1e-5, 8, True)
+        ref = lambda *a: mdta_block_ref(*a, 3, True, True, 1e-5)
+        g1 = jax.grad(lambda *v: loss(fused, *v), argnums=(0, 1, 2))(x, rest[2], rest[4])
+        g2 = jax.grad(lambda *v: loss(ref, *v), argnums=(0, 1, 2))(x, rest[2], rest[4])
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4)
+
     @pytest.mark.parametrize("variant", ["restormer", "promptir"])
     def test_ref_matches_module(self, rng, variant):
         """The jnp twin == the flax TransformerBlock module forward, with the
