@@ -114,18 +114,21 @@ def _b1_kernel(xt_ref, vt_ref, dzt_ref, attn_ref,
 
     row = jax.lax.broadcasted_iota(jnp.int32, (hp, 1, 1), 0)
     t_valid = ~(((row < 2) & (it == 0)) | ((row >= hp - 2) & (it == n_t - 1)))
-    wdwf = wdwf_ref[:].astype(f32)
 
     def _half_fwd(lo, hi):
         """project_in + dwconv for one GDFN half: pre-conv map on all hp rows
-        (masked to zero outside the image), dw output on the th+2 window."""
+        (masked to zero outside the image), dw output on the th+2 window.
+        The dw weight half is sliced on the REF (forward-kernel pattern) —
+        lane-slicing a loaded value at an unaligned offset and broadcasting
+        it is a Mosaic invalid-layout error at F=255 (level-2 GDFN)."""
         t = jnp.dot(ln2, win_ref[:, lo:hi].astype(f32), preferred_element_type=f32).reshape(hp, w, hi - lo)
         t = jnp.where(t_valid, t, 0.0)
+        wdwf_h = wdwf_ref[:, :, lo:hi].astype(f32)
         acc = jnp.zeros((th + 2, w, hi - lo), f32)
         for p in range(3):
             tp = t[p : p + th + 2]
             for q in range(3):
-                acc = acc + _shift_cols(tp, 1 - q) * wdwf[p, q, lo:hi][None, None, :]
+                acc = acc + _shift_cols(tp, 1 - q) * wdwf_h[p, q][None, None, :]
         return t, acc
 
     ta_pre, ta = _half_fwd(0, f)
@@ -154,11 +157,12 @@ def _b1_kernel(xt_ref, vt_ref, dzt_ref, attn_ref,
             tp = t_pre[p + 1 : p + 1 + th]
             for q in range(3):
                 taps.append(jnp.sum(dt2[1 : th + 1] * _shift_cols(tp, 1 - q), axis=(0, 1)))
+        wdwf_h = wdwf_ref[:, :, lo:hi].astype(f32)
         dt = jnp.zeros((th, w, hi - lo), f32)
         for p in range(3):
             dp = dt2[2 - p : 2 - p + th]
             for q in range(3):
-                dt = dt + _shift_cols(dp, q - 1) * wdwf[p, q, lo:hi][None, None, :]
+                dt = dt + _shift_cols(dp, q - 1) * wdwf_h[p, q][None, None, :]
         return jnp.stack(taps, axis=0), dt
 
     tapsa, dtina = _half_bwd(dta, ta_pre, 0, f)
@@ -233,18 +237,19 @@ def _b2_kernel(xt_ref, dvt_ref, dy_ref, dgram_ref, dqn2_ref, dkn2_ref,
 
     row = jax.lax.broadcasted_iota(jnp.int32, (hp, 1, 1), 0)
     t_valid = ~(((row < 2) & (it == 0)) | ((row >= hp - 2) & (it == n_t - 1)))
-    wdwq = wdwq_ref[:].astype(f32)
 
     def _pre(lo, hi):
         t = jnp.dot(ln1, wqkv_ref[:, lo:hi].astype(f32), preferred_element_type=f32).reshape(hp, w, hi - lo)
         return jnp.where(t_valid, t, 0.0)
 
     def _dw(t, lo, hi):
+        # dw weight chunk sliced on the REF — see _half_fwd in _b1_kernel
+        wdwq_c = wdwq_ref[:, :, lo:hi].astype(f32)
         acc = jnp.zeros((th + 2, w, hi - lo), f32)
         for p in range(3):
             tp = t[p : p + th + 2]
             for q in range(3):
-                acc = acc + _shift_cols(tp, 1 - q) * wdwq[p, q, lo:hi][None, None, :]
+                acc = acc + _shift_cols(tp, 1 - q) * wdwq_c[p, q][None, None, :]
         return acc
 
     tq_pre = _pre(0, c)
@@ -276,11 +281,12 @@ def _b2_kernel(xt_ref, dvt_ref, dy_ref, dgram_ref, dqn2_ref, dkn2_ref,
             for q in range(3):
                 taps.append(jnp.sum(dchunk[1 : th + 1] * _shift_cols(tp, 1 - q), axis=(0, 1)))
         taps_all.append(jnp.stack(taps, axis=0))
+        wdwq_c = wdwq_ref[:, :, lo : lo + c].astype(f32)
         dt = jnp.zeros((th, w, c), f32)
         for p in range(3):
             dp = dchunk[2 - p : 2 - p + th]
             for q in range(3):
-                dt = dt + _shift_cols(dp, q - 1) * wdwq[p, q, lo : lo + c][None, None, :]
+                dt = dt + _shift_cols(dp, q - 1) * wdwq_c[p, q][None, None, :]
         dtf = dt.reshape(n, c)
         dwqkv_cols.append(jnp.dot(ln1_in.T, dtf, preferred_element_type=f32))
         dln1 = dln1 + jnp.dot(dtf, wqkv_ref[:, lo : lo + c].astype(f32).T, preferred_element_type=f32)

@@ -307,16 +307,54 @@ def fused_swin_block(x, ln1_w, ln1_b, wqkv, bqkv, wproj, bproj, ln2_w, ln2_b,
                               ln2_b, wfc1, bfc1, wfc2, bfc2, num_heads, eps, interpret)
 
 
+def _swin_analytic_bwd_enabled(dtype) -> bool:
+    """DCPT_TPU_SWIN_BWD tri-state (mirrors DCPT_TPU_NAF_BWD/MDTA_BWD):
+    "1" routes differentiated traces through the fused forward + the analytic
+    single-pass Pallas backward (swin_block_bwd.py) for both dtypes, "0"
+    forces twin delegation, unset = measured-winner policy.  Read at trace
+    time so A/B harnesses can flip it."""
+    import os
+
+    mode = os.environ.get("DCPT_TPU_SWIN_BWD", "auto")
+    if mode == "1":
+        return True
+    if mode == "0":
+        return False
+    # auto: twin delegation until the train-step A/B on silicon picks the
+    # winner per dtype (scripts/bench_swin_bwd.py — the NAF/MDTA methodology).
+    return False
+
+
 def _fwd_block(x, ln1_w, ln1_b, wqkv, bqkv, wproj, bproj, ln2_w, ln2_b,
                wfc1, bfc1, wfc2, bfc2, num_heads, eps, interpret):
+    # Differentiated path, twin delegation by default (see naf_block.py);
+    # DCPT_TPU_SWIN_BWD=1 (or the measured auto policy) keeps the fused
+    # forward and runs the analytic backward — no twin in the graph.
+    if _swin_analytic_bwd_enabled(x.dtype):
+        from .swin_block_bwd import pick_bwd_tile
+
+        nw, n, c = x.shape
+        tb = pick_bwd_tile(nw, n, c, wfc1.shape[1], num_heads)
+        if tb is not None:
+            z = _swin_block_pallas(x, ln1_w, ln1_b, wqkv, bqkv, wproj, bproj,
+                                   ln2_w, ln2_b, wfc1, bfc1, wfc2, bfc2,
+                                   num_heads, eps, interpret)
+            return z, (x, ln1_w, ln1_b, wqkv, bqkv, wproj, bproj, ln2_w, ln2_b,
+                       wfc1, bfc1, wfc2, bfc2)
     out, vjp = jax.vjp(
         lambda *a: swin_block_ref(*a, num_heads, eps),
         x, ln1_w, ln1_b, wqkv, bqkv, wproj, bproj, ln2_w, ln2_b, wfc1, bfc1, wfc2, bfc2)
     return out, vjp
 
 
-def _bwd_block(num_heads, eps, interpret, vjp, g):
-    return vjp(g)
+def _bwd_block(num_heads, eps, interpret, res, g):
+    if isinstance(res, tuple):
+        from .swin_block_bwd import pick_bwd_tile, swin_block_bwd
+
+        x, wfc1 = res[0], res[9]
+        tb = pick_bwd_tile(x.shape[0], x.shape[1], x.shape[2], wfc1.shape[1], num_heads)
+        return swin_block_bwd(*res, g, num_heads, eps, tb, interpret)
+    return res(g)
 
 
 fused_swin_block.defvjp(_fwd_block, _bwd_block)

@@ -363,6 +363,53 @@ class TestWindowAttention:
         ref = swin_block_ref(*args, heads, 1e-5)
         np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-5)
 
+    def _swin_block_args(self, rng, nw=4, n=16, c=16, heads=4):
+        hid = 2 * c
+        a = lambda *shape: jnp.asarray(rng.standard_normal(shape).astype(np.float32) * 0.1)
+        x = jnp.asarray(rng.standard_normal((nw, n, c)).astype(np.float32) * 0.2)
+        return x, (a(c) + 1.0, a(c), a(c, 3 * c), a(3 * c), a(c, c), a(c),
+                   a(c) + 1.0, a(c), a(c, hid), a(hid), a(hid, c), a(c))
+
+    @pytest.mark.parametrize("t", [1, 2, 4])
+    def test_swin_analytic_backward_matches_vjp(self, rng, t):
+        """Single-pass analytic Pallas backward == jax.vjp of the twin on all
+        13 cotangents (interpret), incl. the per-head masked-lane softmax
+        backward and the degenerate one-tile grid."""
+        from dcpt_tpu.ops.swin_block_bwd import swin_block_bwd
+        from dcpt_tpu.ops.window_attention import swin_block_ref
+
+        x, rest = self._swin_block_args(rng)
+        args = (x,) + rest
+        out, vjp = jax.vjp(lambda *a: swin_block_ref(*a, 4, 1e-5), *args)
+        dz = jnp.asarray(rng.standard_normal(out.shape).astype(np.float32))
+        ref = vjp(dz)
+        got = swin_block_bwd(*args, dz, 4, 1e-5, t, interpret=True)
+        assert len(got) == len(ref) == 13
+        for i, (a, b) in enumerate(zip(got, ref)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4,
+                err_msg=f"cotangent {i} mismatch")
+
+    def test_swin_fused_vjp_env_flag_routes_analytic(self, rng, monkeypatch):
+        """DCPT_TPU_SWIN_BWD=1: grads through fused_swin_block come from the
+        analytic kernel and still match the twin's autodiff."""
+        from dcpt_tpu.ops.window_attention import fused_swin_block, swin_block_ref
+
+        monkeypatch.setenv("DCPT_TPU_SWIN_BWD", "1")
+        monkeypatch.setenv("DCPT_TPU_SWIN_BWD_T", "2")
+        x, rest = self._swin_block_args(rng)
+
+        def loss(fn, x, wqkv, wfc1):
+            a = (x,) + rest[:2] + (wqkv,) + rest[3:8] + (wfc1,) + rest[9:]
+            return jnp.sum(fn(*a) ** 2)
+
+        fused = lambda *a: fused_swin_block(*a, 4, 1e-5, True)
+        ref = lambda *a: swin_block_ref(*a, 4, 1e-5)
+        g1 = jax.grad(lambda *v: loss(fused, *v), argnums=(0, 1, 2))(x, rest[2], rest[8])
+        g2 = jax.grad(lambda *v: loss(ref, *v), argnums=(0, 1, 2))(x, rest[2], rest[8])
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4)
+
     def test_swinir_with_block_kernel_matches(self, rng, monkeypatch):
         """Whole SwinIR forward identical with the v3 block-kernel path."""
         from dcpt_tpu.archs import swinir_arch
