@@ -389,9 +389,12 @@ def _analytic_bwd_enabled(dtype) -> bool:
         return True
     if mode == "0":
         return False
-    # auto: twin delegation until the train-step A/B on silicon picks the
-    # winner per dtype (scripts/bench_mdta_bwd.py — the NAF methodology).
-    return False
+    # auto: measured winner in BOTH precisions on the DCPT Restormer train
+    # step (scripts/bench_mdta_bwd.py, v5e bs8 @128px, interleaved-min ×2,
+    # 8 steps scanned per dispatch): fp32 373.4→325.5 ms (1.147×), mixed
+    # 258.4→231.4 ms (1.117×).  Geometries the bwd tile picker rejects
+    # still delegate per-block, so this is safe at any shape.
+    return True
 
 
 def _fwd(x, n1w, n1b, wqkv, wdwq, temperature, wproj, n2w, n2b, win_, wdwf, wout,

@@ -7,11 +7,14 @@ The winner Pallas kernels are routed so that
   the jnp twin — the custom-VJP ``_fwd`` delegates to ``jax.vjp(twin)``
   (kernel-in-diff-path measured 1.86× slower end-to-end on the DCPT train
   step: PARITY.md "NAFNet kernel A/B (round 3)"),
-* EXCEPT the NAF analytic backward (``DCPT_TPU_NAF_BWD`` tri-state): the
-  auto default routes fp32 differentiated traces through the fused forward
-  + the hand-derived Pallas backward and NO twin (measured 1.102× train-step
-  winner, PARITY "Analytic Pallas NAFBlock backward"); bf16 keeps the twin
-  delegation (measured tie); "0"/"1" force the two paths for A/B.
+* EXCEPT the measured analytic backwards: the NAF auto default
+  (``DCPT_TPU_NAF_BWD`` tri-state) routes fp32 differentiated traces through
+  the fused forward + the hand-derived Pallas backward and NO twin (measured
+  1.102× train-step winner, PARITY "Analytic Pallas NAFBlock backward"); bf16
+  keeps the twin delegation (measured tie); and the MDTA auto default
+  (``DCPT_TPU_MDTA_BWD``) routes BOTH dtypes through the analytic backward
+  (measured 1.147× fp32 / 1.117× mixed on the DCPT Restormer step, PARITY
+  "Analytic Pallas MDTA backward"). "0"/"1" force the two paths for A/B.
 
 bench.py's ``restormer_train_step_mixed_ms`` / ``dcpt_train_step_mixed_ms``
 perf-guard this on silicon; these tests pin the same property structurally
@@ -79,16 +82,30 @@ def _net_and_jaxprs(arch_opt, size, dtype=jnp.float32):
     (RESTORMER_TINY, 64, jnp.float32),
     (RESTORMER_TINY, 64, jnp.bfloat16),
 ])
-def test_kernel_fires_primal_only(pallas_all, monkeypatch, arch_opt, size, dtype):
-    monkeypatch.delenv("DCPT_TPU_NAF_BWD", raising=False)
+def test_mdta_analytic_bwd_auto_both_dtypes(pallas_all, monkeypatch, arch_opt, size, dtype):
+    """The MDTA auto default routes BOTH precisions' differentiated traces
+    through the fused forward + analytic Pallas backward — the measured
+    1.147× fp32 / 1.117× mixed DCPT-Restormer train-step winner (PARITY
+    'Analytic Pallas MDTA backward')."""
+    monkeypatch.delenv("DCPT_TPU_MDTA_BWD", raising=False)
     fwd_jaxpr, grad_jaxpr = _net_and_jaxprs(arch_opt, size, dtype)
     assert "pallas_call" in fwd_jaxpr, (
         f"{arch_opt['type']}: winner kernel did not fire on the primal trace "
         "— the gate or tile picker regressed")
-    assert "pallas_call" not in grad_jaxpr, (
-        f"{arch_opt['type']}: a Pallas kernel leaked into the differentiated "
-        "graph — custom-VJP _fwd must delegate to the jnp twin "
-        "(PARITY 'NAFNet kernel A/B': 1.86× regression)")
+    assert "pallas_call" in grad_jaxpr, (
+        f"{arch_opt['type']}: auto default must carry the analytic Pallas "
+        "backward in the differentiated graph (measured winner)")
+
+
+def test_mdta_bwd_force_off_delegates(pallas_all, monkeypatch):
+    """DCPT_TPU_MDTA_BWD=0 forces twin delegation (the A/B baseline leg):
+    the differentiated graph must compile to pure-XLA autodiff of the twin,
+    with no Pallas anywhere (PARITY 'NAFNet kernel A/B': kernel-in-diff-path
+    without an analytic backward is the 1.86× regression)."""
+    monkeypatch.setenv("DCPT_TPU_MDTA_BWD", "0")
+    fwd_jaxpr, grad_jaxpr = _net_and_jaxprs(RESTORMER_TINY, 64, jnp.float32)
+    assert "pallas_call" in fwd_jaxpr
+    assert "pallas_call" not in grad_jaxpr
 
 
 def test_naf_bf16_stays_xla(pallas_all, monkeypatch):
