@@ -320,9 +320,16 @@ def _swin_analytic_bwd_enabled(dtype) -> bool:
         return True
     if mode == "0":
         return False
-    # auto: twin delegation until the train-step A/B on silicon picks the
-    # winner per dtype (scripts/bench_swin_bwd.py — the NAF/MDTA methodology).
-    return False
+    # auto: measured winner in BOTH precisions on the DCPT SwinIR train step
+    # (scripts/bench_swin_bwd.py, v5e bs8 @128px SwinIR-180 6×6, 4 steps
+    # scanned per dispatch, interleaved-min ×2): mixed twin 1004.8 ms →
+    # analytic 552.0 ms (1.82×); fp32 twin REPRODUCIBLY fails remote
+    # compile (tpu_compile_helper exit 1, twice ~55 min apart — the pure-XLA
+    # autodiff graph of 36 blocks is too much for the toolchain) while the
+    # analytic program compiles and runs at 704 ms, so in fp32 this is the
+    # only path that works at all.  Geometries pick_bwd_tile rejects still
+    # delegate per-block to the twin.
+    return True
 
 
 def _fwd_block(x, ln1_w, ln1_b, wqkv, bqkv, wproj, bproj, ln2_w, ln2_b,

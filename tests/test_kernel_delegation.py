@@ -11,10 +11,15 @@ The winner Pallas kernels are routed so that
   (``DCPT_TPU_NAF_BWD`` tri-state) routes fp32 differentiated traces through
   the fused forward + the hand-derived Pallas backward and NO twin (measured
   1.102× train-step winner, PARITY "Analytic Pallas NAFBlock backward"); bf16
-  keeps the twin delegation (measured tie); and the MDTA auto default
+  keeps the twin delegation (measured tie); the MDTA auto default
   (``DCPT_TPU_MDTA_BWD``) routes BOTH dtypes through the analytic backward
   (measured 1.147× fp32 / 1.117× mixed on the DCPT Restormer step, PARITY
-  "Analytic Pallas MDTA backward"). "0"/"1" force the two paths for A/B.
+  "Analytic Pallas MDTA backward"); and the Swin auto default
+  (``DCPT_TPU_SWIN_BWD``) routes BOTH dtypes through the analytic backward
+  (measured 1.82× mixed on the DCPT SwinIR step; the fp32 twin autodiff
+  graph reproducibly fails remote compile, so in fp32 the analytic path is
+  the only one that compiles — PARITY "Analytic Pallas SwinBlock backward").
+  "0"/"1" force the two paths for A/B.
 
 bench.py's ``restormer_train_step_mixed_ms`` / ``dcpt_train_step_mixed_ms``
 perf-guard this on silicon; these tests pin the same property structurally
@@ -104,6 +109,37 @@ def test_mdta_bwd_force_off_delegates(pallas_all, monkeypatch):
     without an analytic backward is the 1.86× regression)."""
     monkeypatch.setenv("DCPT_TPU_MDTA_BWD", "0")
     fwd_jaxpr, grad_jaxpr = _net_and_jaxprs(RESTORMER_TINY, 64, jnp.float32)
+    assert "pallas_call" in fwd_jaxpr
+    assert "pallas_call" not in grad_jaxpr
+
+
+# NB: depths needs an EVEN length — SwinIR splits layers into encode/decode
+# halves (num_layers // 2 each), so a single entry runs zero RSTBs.
+SWINIR_TINY = {
+    "type": "SwinIR", "embed_dim": 32, "depths": [2, 2], "num_heads": [4, 4],
+    "mlp_ratio": 2.0, "window_size": 8, "upscale": 1,
+}
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_swin_analytic_bwd_auto_both_dtypes(pallas_all, monkeypatch, dtype):
+    """The Swin auto default routes BOTH precisions' differentiated traces
+    through the fused forward + analytic Pallas backward — 1.82× mixed
+    winner, and the only fp32 path that compiles at the shipped SwinIR-180
+    size (PARITY 'Analytic Pallas SwinBlock backward')."""
+    monkeypatch.delenv("DCPT_TPU_SWIN_BWD", raising=False)
+    fwd_jaxpr, grad_jaxpr = _net_and_jaxprs(SWINIR_TINY, 32, dtype)
+    assert "pallas_call" in fwd_jaxpr, (
+        "SwinIR: winner kernel did not fire on the primal trace")
+    assert "pallas_call" in grad_jaxpr, (
+        "SwinIR: auto default must carry the analytic Pallas backward "
+        "in the differentiated graph (measured winner)")
+
+
+def test_swin_bwd_force_off_delegates(pallas_all, monkeypatch):
+    """DCPT_TPU_SWIN_BWD=0 forces twin delegation (the A/B baseline leg)."""
+    monkeypatch.setenv("DCPT_TPU_SWIN_BWD", "0")
+    fwd_jaxpr, grad_jaxpr = _net_and_jaxprs(SWINIR_TINY, 32, jnp.float32)
     assert "pallas_call" in fwd_jaxpr
     assert "pallas_call" not in grad_jaxpr
 

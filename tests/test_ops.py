@@ -390,6 +390,31 @@ class TestWindowAttention:
                 np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4,
                 err_msg=f"cotangent {i} mismatch")
 
+    def test_swin_analytic_backward_bf16(self, rng):
+        """bf16 inputs (the mixed train path, auto-on per the A/B): the
+        analytic kernel upcasts to fp32 internally, so its bf16 cotangents
+        must equal the EXACT fp32 gradient evaluated at the bf16-rounded
+        inputs (to bf16 output rounding) — the property that makes the
+        mixed-precision auto default safe (PARITY 'Analytic Pallas SwinBlock
+        backward')."""
+        from dcpt_tpu.ops.swin_block_bwd import swin_block_bwd
+        from dcpt_tpu.ops.window_attention import swin_block_ref
+
+        x, rest = self._swin_block_args(rng)
+        bargs = tuple(a.astype(jnp.bfloat16) for a in ((x,) + rest))
+        rargs = tuple(a.astype(jnp.float32) for a in bargs)  # exact rounded point
+        out, vjp = jax.vjp(lambda *a: swin_block_ref(*a, 4, 1e-5), *rargs)
+        dz = jnp.asarray(rng.standard_normal(out.shape).astype(np.float32))
+        bdz = dz.astype(jnp.bfloat16)
+        ref = [np.asarray(r) for r in vjp(bdz.astype(jnp.float32))]
+
+        got = swin_block_bwd(*bargs, bdz, 4, 1e-5, 2, interpret=True)
+        assert len(got) == len(ref) == 13
+        for i, (a, b) in enumerate(zip(got, ref)):
+            scale = max(np.abs(b).max(), 1e-3)
+            err = np.abs(np.asarray(a, np.float32) - b).max() / scale
+            assert err < 1e-2, f"cotangent {i}: analytic bf16 err {err}"
+
     def test_swin_fused_vjp_env_flag_routes_analytic(self, rng, monkeypatch):
         """DCPT_TPU_SWIN_BWD=1: grads through fused_swin_block come from the
         analytic kernel and still match the twin's autodiff."""
@@ -777,6 +802,35 @@ class TestMDTABlockFused:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4,
                 err_msg=f"cotangent {i} mismatch")
+
+    def test_analytic_backward_bf16(self, rng):
+        """bf16 inputs (the mixed train path, auto-on per the A/B): the
+        analytic kernel upcasts to fp32 internally, so its bf16 cotangents
+        must equal the EXACT fp32 gradient evaluated at the bf16-rounded
+        inputs (to bf16 output rounding) — measured identical to 4 decimals;
+        comparing against the unrounded oracle instead only bounds the
+        block's own gradient sensitivity to input rounding, not kernel
+        correctness."""
+        from dcpt_tpu.ops.mdta_block import _block_pallas, mdta_block_ref
+        from dcpt_tpu.ops.mdta_block_bwd import mdta_block_bwd
+
+        x, rest = self._args(rng)
+        bargs = tuple(a.astype(jnp.bfloat16) for a in ((x,) + rest))
+        rargs = tuple(a.astype(jnp.float32) for a in bargs)  # exact rounded point
+        out, vjp = jax.vjp(lambda *a: mdta_block_ref(*a, 3, False, False, 1e-6), *rargs)
+        dz = jnp.asarray(rng.standard_normal(out.shape).astype(np.float32))
+        bdz = dz.astype(jnp.bfloat16)
+        ref = [np.asarray(r) for r in vjp(bdz.astype(jnp.float32))]
+
+        _, v, gram, qn2, kn2, attn = _block_pallas(
+            *bargs, 3, False, False, 1e-6, 8, True, None, with_res=True)
+        got = mdta_block_bwd(*bargs, v, gram, qn2, kn2, attn, bdz,
+                             3, False, False, 1e-6, 8, interpret=True)
+        assert len(got) == len(ref) == 12
+        for i, (a, b) in enumerate(zip(got, ref)):
+            scale = max(np.abs(b).max(), 1e-3)
+            err = np.abs(np.asarray(a, np.float32) - b).max() / scale
+            assert err < 1e-2, f"cotangent {i}: analytic bf16 err {err}"
 
     def test_fused_vjp_env_flag_routes_analytic(self, rng, monkeypatch):
         """DCPT_TPU_MDTA_BWD=1: grads through mdta_block_fused come from the
