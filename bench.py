@@ -76,6 +76,7 @@ COMPACT_KEYS = (
     "dcpt_train_step_mixed_ms",
     "dcpt_train_step_mixed_achieved_tflops",
     "restormer_train_step_mixed_ms",
+    "swinir_train_step_mixed_ms",
 )
 MAX_LINE_BYTES = 1400
 
@@ -532,6 +533,17 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         extra["restormer_train_error"] = str(e)[:200]
 
+    # ------------------------------------------------------------------
+    # DCPT-SwinIR train step: perf-guards the Swin analytic-backward auto
+    # default (1.82× mixed; fp32 twin doesn't compile — PARITY "Analytic
+    # Pallas SwinBlock backward").  Mixed only, same rationale as above.
+    # ------------------------------------------------------------------
+    try:
+        progress("SwinIR train-step section")
+        extra.update(bench_swinir_train_step(rng, cpu, accel))
+    except Exception as e:  # noqa: BLE001
+        extra["swinir_train_error"] = str(e)[:200]
+
     if headline == 0.0 and _report_cached(
             "headline section failed this run", partial_extra=extra):
         # the headline section died mid-run — the cached last-good measurement
@@ -684,11 +696,12 @@ def bench_restormer_train_step(rng, cpu, accel, gt=128, bs=8, iters=8) -> dict:
     """DCPT pre-training step on Restormer (options/all_in_one/train/
     train_Restormer_dcpt_5d.yml shapes: bs8 @128px, decoder_level hooks —
     reversed they form the probe's shrinking pyramid — PromptIR_NoImg_DC on
-    the [96,96,192,384] reversed-decoder dims), mixed precision.  The MDTA whole-block kernel is default-on for fp32 AND bf16
-    forwards (PARITY "MDTA whole-block kernel A/B"), so this step is the
-    standing measurement that the delegation rule keeps it OUT of the
-    differentiated graph (tests/test_kernel_delegation.py pins the same
-    property structurally)."""
+    the [96,96,192,384] reversed-decoder dims), mixed precision.  The MDTA
+    whole-block kernel is default-on for fp32 AND bf16 forwards, and since
+    the round-4 A/B its ANALYTIC Pallas backward is default-on in the
+    differentiated graph too (PARITY "Analytic Pallas MDTA backward":
+    1.117× mixed) — this step is the standing silicon measurement of that
+    routing (tests/test_kernel_delegation.py pins it structurally)."""
     import jax
     import jax.numpy as jnp
 
@@ -739,6 +752,68 @@ def bench_restormer_train_step(rng, cpu, accel, gt=128, bs=8, iters=8) -> dict:
     gf = results.get("restormer_step_gflop_bs8_128px")
     if gf:
         results["restormer_train_step_mixed_achieved_tflops"] = round(gf / dt / 1e3, 1)
+    return results
+
+
+def bench_swinir_train_step(rng, cpu, accel, gt=128, bs=8, iters=4) -> dict:
+    """DCPT pre-training step on SwinIR-180 6×6 (train_SwinIR_dcpt_5d.yml
+    shapes: encode_layers hooks, PromptIR_NoImg_DC probe, bs8 @128px), mixed
+    precision.  Perf-guards the Swin analytic-backward auto default (PARITY
+    "Analytic Pallas SwinBlock backward": 1.82× mixed vs twin delegation;
+    the fp32 twin autodiff graph does not even compile at this size) —
+    a regression here means the differentiated-trace routing broke."""
+    import jax
+    import jax.numpy as jnp
+
+    from dcpt_tpu.models import build_model
+
+    opt = {
+        "name": "bench_swinir_train", "model_type": "DCPTModel", "scale": 1,
+        "num_gpu": 1, "manual_seed": 0, "is_train": True, "dist": False,
+        "rank": 0, "world_size": 1, "hook_names": "encode_layers", "init_size": gt,
+        "network_g": {"type": "SwinIR", "embed_dim": 180, "depths": [6, 6, 6, 6, 6, 6],
+                      "num_heads": [6, 6, 6, 6, 6, 6], "mlp_ratio": 2.0,
+                      "window_size": 8, "upscale": 1},
+        "network_dc": {"type": "PromptIR_NoImg_DC", "feature_dims": [180, 180, 180],
+                       "num_res_blocks": 2, "num_classes": 5, "downsample": True},
+        "path": {},
+        "train": {
+            "optim_g": {"type": "AdamW", "lr": 1e-4, "weight_decay": 1e-4},
+            "optim_dc": {"type": "AdamW", "lr": 1e-4, "weight_decay": 1e-4},
+            "scheduler": {"type": "CosineAnnealingRestartLR", "periods": [100], "restart_weights": [1]},
+            "classify_opt": {"type": "CrossEntropyLoss"},
+            "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0},
+            "mixed_precision": True,
+            "total_iter": 100,
+        },
+        "val": {"metrics": {}},
+    }
+    with jax.default_device(cpu):
+        model = build_model(opt)
+    state = jax.device_put(
+        (model.params_g, model.params_dc, model.opt_state_g, model.opt_state_dc), accel)
+    lq = jax.device_put(jnp.asarray(rng.random((bs, gt, gt, 3), dtype=np.float32)), accel)
+    gt_img = jax.device_put(jnp.asarray(rng.random((bs, gt, gt, 3), dtype=np.float32)), accel)
+    idx = jax.device_put(jnp.asarray(rng.integers(0, 5, bs), dtype=jnp.int32), accel)
+    lr = jnp.float32(1e-4)
+
+    results: dict[str, float] = {}
+    try:
+        cost = model._train_step.lower(*state, lq, gt_img, idx, lr, lr).compile().cost_analysis()
+        results["swinir_step_gflop_bs8_128px"] = round(cost.get("flops", 0.0) / 1e9, 1)
+    except Exception:
+        pass
+
+    run = _scan_train_loop(model, lq, gt_img, idx, lr, iters)
+    state = run(state)  # compile + warm (same executable as the timed one)
+    t0 = time.perf_counter()
+    run(state)
+    dt = (time.perf_counter() - t0) / iters
+    results["swinir_train_step_mixed_ms"] = round(dt * 1e3, 2)
+    results["swinir_train_step_mixed_mpix_s"] = round(bs * gt * gt / 1e6 / dt, 3)
+    gf = results.get("swinir_step_gflop_bs8_128px")
+    if gf:
+        results["swinir_train_step_mixed_achieved_tflops"] = round(gf / dt / 1e3, 1)
     return results
 
 
