@@ -655,10 +655,7 @@ def bench_train_step(rng, cpu, accel, gt=128, bs=16, iters=8) -> dict:
                 pass
 
         run = _scan_train_loop(model, lq, gt_img, idx, lr, iters)
-        state = run(state)  # compile + warm (same executable as the timed one)
-        t0 = time.perf_counter()
-        run(state)
-        dt = (time.perf_counter() - t0) / iters
+        dt = _time_train_best2(run, state, iters)
         results[f"dcpt_train_step_{tag}_ms"] = round(dt * 1e3, 2)
         results[f"dcpt_train_step_{tag}_mpix_s"] = round(bs * gt * gt / 1e6 / dt, 3)
         gf = results.get("dcpt_step_gflop_bs16_128px")
@@ -690,6 +687,19 @@ def _scan_train_loop(model, lq, gt_img, idx, lr, iters):
         return state
 
     return run
+
+
+def _time_train_best2(run, state, iters):
+    """min-of-2 timed reps (tunnel variance is up to 3×; the A/B harnesses
+    all use interleaved-min — a single-shot sample here misread the round-4
+    Restormer step by ~9%).  ``run`` donates+returns state."""
+    state = run(state)  # compile + warm (same executable as the timed ones)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        state = run(state)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def bench_restormer_train_step(rng, cpu, accel, gt=128, bs=8, iters=8) -> dict:
@@ -743,10 +753,7 @@ def bench_restormer_train_step(rng, cpu, accel, gt=128, bs=8, iters=8) -> dict:
         pass
 
     run = _scan_train_loop(model, lq, gt_img, idx, lr, iters)
-    state = run(state)  # compile + warm (same executable as the timed one)
-    t0 = time.perf_counter()
-    run(state)
-    dt = (time.perf_counter() - t0) / iters
+    dt = _time_train_best2(run, state, iters)
     results["restormer_train_step_mixed_ms"] = round(dt * 1e3, 2)
     results["restormer_train_step_mixed_mpix_s"] = round(bs * gt * gt / 1e6 / dt, 3)
     gf = results.get("restormer_step_gflop_bs8_128px")
@@ -804,11 +811,29 @@ def bench_swinir_train_step(rng, cpu, accel, gt=128, bs=8, iters=4) -> dict:
     except Exception:
         pass
 
-    run = _scan_train_loop(model, lq, gt_img, idx, lr, iters)
-    state = run(state)  # compile + warm (same executable as the timed one)
-    t0 = time.perf_counter()
-    run(state)
-    dt = (time.perf_counter() - t0) / iters
+    # Program kept BYTE-IDENTICAL to scripts/bench_swin_bwd.py's (losses in
+    # the scan, donate state, static n) so it rides the A/B's persistent
+    # compile-cache entry — the remote compile-helper 500s intermittently on
+    # programs this size (it reproducibly rejects the fp32 TWIN graph, and
+    # one bench run 500'd even the analytic one), so not recompiling at all
+    # is the robust path.
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(6,))
+    def multi(state, lq_, gt_, idx_, lr_g, lr_dc, n):
+        def body(st, _):
+            pg, pdc, og, odc = st
+            pg, pdc, og, odc, losses = model._train_step(pg, pdc, og, odc, lq_, gt_, idx_, lr_g, lr_dc)
+            return (pg, pdc, og, odc), losses
+        st, losses = jax.lax.scan(body, state, None, length=n)
+        return st, jax.tree_util.tree_map(lambda t: t[-1], losses)
+
+    def run(state):
+        state, _ = multi(state, lq, gt_img, idx, lr, lr, iters)
+        np.asarray(jax.tree_util.tree_leaves(state[0])[0]).ravel()[0]
+        return state
+
+    dt = _time_train_best2(run, state, iters)
     results["swinir_train_step_mixed_ms"] = round(dt * 1e3, 2)
     results["swinir_train_step_mixed_mpix_s"] = round(bs * gt * gt / 1e6 / dt, 3)
     gf = results.get("swinir_step_gflop_bs8_128px")
