@@ -238,6 +238,12 @@ class TestFileClient:
 
     def test_lmdb_roundtrip(self, tmp_path):
         lmdb = pytest.importorskip("lmdb")
+        if not hasattr(lmdb, "open"):
+            # ref_loader._install_stubs() plants an EMPTY lmdb module in
+            # sys.modules (the reference package imports it unconditionally),
+            # so in-suite importorskip "succeeds" even when real lmdb is
+            # absent — skip on the stub, same as on no module at all.
+            pytest.skip("lmdb is the ref_loader stub, not the real package")
 
         from dcpt_tpu.utils.file_client import FileClient
 
