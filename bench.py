@@ -513,7 +513,7 @@ def main() -> None:
     # ------------------------------------------------------------------
     try:
         progress("DCPT train-step section")
-        train = bench_train_step(rng, cpu, accel)
+        train = _retry_transient(bench_train_step, rng, cpu, accel)
         extra.update(train)
     except Exception as e:  # noqa: BLE001 — inference numbers still publish
         extra["dcpt_train_error"] = str(e)[:200]
@@ -529,7 +529,7 @@ def main() -> None:
     # ------------------------------------------------------------------
     try:
         progress("Restormer train-step section")
-        extra.update(bench_restormer_train_step(rng, cpu, accel))
+        extra.update(_retry_transient(bench_restormer_train_step, rng, cpu, accel))
     except Exception as e:  # noqa: BLE001
         extra["restormer_train_error"] = str(e)[:200]
 
@@ -540,7 +540,7 @@ def main() -> None:
     # ------------------------------------------------------------------
     try:
         progress("SwinIR train-step section")
-        extra.update(bench_swinir_train_step(rng, cpu, accel))
+        extra.update(_retry_transient(bench_swinir_train_step, rng, cpu, accel))
     except Exception as e:  # noqa: BLE001
         extra["swinir_train_error"] = str(e)[:200]
 
@@ -687,6 +687,25 @@ def _scan_train_loop(model, lq, gt_img, idx, lr, iters):
         return state
 
     return run
+
+
+def _retry_transient(fn, *args, pause_s: int = 90, **kwargs):
+    """Run a bench section, retrying ONCE on a transient remote-compile 500.
+
+    The axon compile-helper intermittently 500s on the biggest train-step
+    programs (observed on both the SwinIR analytic graph and, once, the DCPT
+    one) and a second attempt minutes later routinely succeeds — a transient
+    infra failure should not cost the round a graded metric."""
+    import time
+
+    try:
+        return fn(*args, **kwargs)
+    except Exception as e:  # noqa: BLE001
+        msg = str(e)
+        if "remote_compile" in msg or "HTTP 5" in msg or "INTERNAL" in msg:
+            time.sleep(pause_s)
+            return fn(*args, **kwargs)
+        raise
 
 
 def _time_train_best2(run, state, iters):

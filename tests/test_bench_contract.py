@@ -102,3 +102,37 @@ def test_repo_cache_is_valid_and_schema_complete():
     assert all(k in d for k in REQUIRED)
     assert d["value"] > 0 and d["unit"] == "Megapixels/sec/chip"
     assert "measured_at" in d
+
+
+def test_retry_transient_retries_compile_500_once(bench, monkeypatch):
+    """The axon compile-helper intermittently 500s on the biggest train-step
+    programs (BENCH_r03's swinir_train_error); a section wrapped in
+    _retry_transient must retry exactly once on that signature and surface
+    every other exception unchanged."""
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError(
+                "INTERNAL: http://127.0.0.1:8113/remote_compile: HTTP 500: "
+                "tpu_compile_helper subprocess exit code 1")
+        return {"ok": calls["n"]}
+
+    assert bench._retry_transient(flaky, pause_s=0) == {"ok": 2}
+
+    def always_500():
+        raise RuntimeError("remote_compile: HTTP 500")
+
+    with pytest.raises(RuntimeError):  # second failure propagates
+        bench._retry_transient(always_500, pause_s=0)
+
+    def real_bug():
+        calls["n"] += 1
+        raise ValueError("shape mismatch")
+
+    calls["n"] = 0
+    with pytest.raises(ValueError):
+        bench._retry_transient(real_bug, pause_s=0)
+    assert calls["n"] == 1  # non-transient errors are NOT retried
