@@ -104,12 +104,11 @@ def test_repo_cache_is_valid_and_schema_complete():
     assert "measured_at" in d
 
 
-def test_retry_transient_retries_compile_500_once(bench, monkeypatch):
+def test_retry_transient_retries_compile_500_once(bench):
     """The axon compile-helper intermittently 500s on the biggest train-step
     programs (BENCH_r03's swinir_train_error); a section wrapped in
-    _retry_transient must retry exactly once on that signature and surface
-    every other exception unchanged."""
-    monkeypatch.setattr("time.sleep", lambda s: None)
+    _retry_transient must retry exactly once on that signature, record the
+    retry in notes, and surface every other exception unchanged."""
     calls = {"n": 0}
 
     def flaky():
@@ -120,7 +119,9 @@ def test_retry_transient_retries_compile_500_once(bench, monkeypatch):
                 "tpu_compile_helper subprocess exit code 1")
         return {"ok": calls["n"]}
 
-    assert bench._retry_transient(flaky, pause_s=0) == {"ok": 2}
+    notes = {}
+    assert bench._retry_transient(flaky, pause_s=0, notes=notes) == {"ok": 2}
+    assert notes == {"flaky_retried": True}  # recovering flake stays visible
 
     def always_500():
         raise RuntimeError("remote_compile: HTTP 500")
@@ -136,3 +137,139 @@ def test_retry_transient_retries_compile_500_once(bench, monkeypatch):
     with pytest.raises(ValueError):
         bench._retry_transient(real_bug, pause_s=0)
     assert calls["n"] == 1  # non-transient errors are NOT retried
+
+
+def test_retry_transient_not_fooled_by_bare_internal(bench):
+    """A deterministic XLA miscompile also says "INTERNAL" — it must publish
+    immediately, not after a doubled multi-minute compile (ADVICE r4 #1).
+    The transient classifier anchors on the infra signature only."""
+    calls = {"n": 0}
+
+    def miscompile():
+        calls["n"] += 1
+        raise RuntimeError("XlaRuntimeError: INTERNAL: Mosaic failed to compile")
+
+    with pytest.raises(RuntimeError):
+        bench._retry_transient(miscompile, pause_s=0)
+    assert calls["n"] == 1
+
+
+def test_retry_transient_suppressed_when_budget_exhausted(bench, monkeypatch):
+    """A retry whose pause+rerun would bust the wall-clock budget is
+    suppressed — the error publishes and the line still lands in time."""
+    monkeypatch.setattr(bench, "BUDGET_S", 0.0)  # _remaining() < 0
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        raise RuntimeError("remote_compile: HTTP 500")
+
+    with pytest.raises(RuntimeError):
+        bench._retry_transient(flaky, pause_s=0)
+    assert calls["n"] == 1  # no second attempt
+
+
+def test_emit_prints_line_before_writing_full_matrix(bench, capsys, monkeypatch, tmp_path):
+    """The round-4 run died between producing the result and the stdout line
+    (rc=124) — the line is the graded artifact, so it must print BEFORE the
+    full-matrix file write."""
+    monkeypatch.setattr(bench, "_last_good_path", lambda: str(tmp_path / "lg.json"))
+
+    def boom(result):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(bench, "_write_full_matrix", boom)
+    with pytest.raises(OSError):
+        bench._emit({"metric": "m", "value": 1.0, "unit": "u", "vs_baseline": 1.0, "extra": {}})
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1 and json.loads(out[0])["value"] == 1.0
+
+
+def test_error_runs_never_become_last_good(bench, tmp_path, monkeypatch):
+    """VERDICT r4 #2: the round-4 guard checked only section_*/ab_error_*/
+    dcpt_train_error, so a run with swinir_train_error became the
+    "fully-clean" fallback.  The guard must use the same `"error" in k`
+    predicate as the emit summary, and budget-skipped runs don't qualify
+    either."""
+    clean_of = lambda extra: not any(  # noqa: E731 — mirror of bench's guard
+        k.startswith(("section_", "ab_error_")) or "error" in k or k.endswith("_skipped")
+        for k in extra)
+    assert not clean_of({"swinir_train_error": "HTTP 500"})  # the r4 escape
+    assert not clean_of({"restormer_train_error": "x"})
+    assert not clean_of({"section_nafnet_error": "x"})
+    assert not clean_of({"ab_error_SwinIR_128px_bs4_bfloat16_auto": "x"})
+    assert not clean_of({"section_swinir_train_skipped": "budget"})
+    assert clean_of({"nafnet_bs16_fp32_xla_mpix_s": 18.8,
+                     "bench_swinir_train_step_retried": True})  # recovered flake is clean
+
+    # and the committed cache must satisfy the invariant the guard enforces
+    with open(bench._last_good_path()) as f:
+        d = json.load(f)
+    assert not any("error" in k or k.endswith("_skipped") for k in d.get("extra", {})), \
+        "committed bench_last_good.json violates the fully-clean invariant"
+
+
+def test_budget_skip_markers_reach_the_compact_line(bench, capsys, monkeypatch, tmp_path):
+    """A budget-degraded run must say so in the one printed line (skipped
+    count) while staying under the cap."""
+    monkeypatch.setattr(bench, "_last_good_path", lambda: str(tmp_path / "lg.json"))
+    bench._emit({
+        "metric": "m", "value": 1.0, "unit": "u", "vs_baseline": 1.0,
+        "extra": {"section_swinir_train_skipped": "budget",
+                  "section_restormer_train_skipped": "budget",
+                  "nafnet_bs16_fp32_xla_mpix_s": 18.8},
+    })
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1 and len(out[0].encode()) <= bench.MAX_LINE_BYTES
+    d = json.loads(out[0])
+    assert d["extra"]["skipped"] == 2
+
+
+def test_budget_gate_skips_sections_and_still_emits(bench, capsys, monkeypatch, tmp_path):
+    """VERDICT r4 #1 contract: with the budget already exhausted (simulating
+    a run whose early sections ate the wall-clock), every remaining section
+    must be skipped with a marker and the one line must still be emitted —
+    quickly, not after more slow compiles.  Simulated by entering main() with
+    a zero budget and a preflight that 'succeeds' instantly; the jax-touching
+    section bodies never run (they would fail loudly under the stub)."""
+    import sys as _sys
+    import types
+
+    monkeypatch.setattr(bench, "_tpu_preflight", lambda *a, **k: True)
+    monkeypatch.setattr(bench, "BUDGET_S", 0.0)
+    monkeypatch.setattr(bench, "_last_good_path", lambda: str(tmp_path / "lg.json"))
+
+    # main() imports jax at the top — give it a minimal stub so a dead/slow
+    # tunnel can't hang this test; no section body may execute under a zero
+    # budget, so nothing beyond these attributes is touched.
+    class _Dev:
+        platform = "cpu"
+
+    jax_stub = types.ModuleType("jax")
+    jax_stub.devices = lambda *a, **k: [_Dev()]
+    jax_stub.config = types.SimpleNamespace(update=lambda *a, **k: None)
+    jax_stub.numpy = types.ModuleType("jax.numpy")
+    monkeypatch.setitem(_sys.modules, "jax", jax_stub)
+    monkeypatch.setitem(_sys.modules, "jax.numpy", jax_stub.numpy)
+    # the arch/ops imports inside main() must also not pull real jax (incl.
+    # the parent package, whose __init__ would otherwise import under the stub)
+    pkg_stub = types.ModuleType("dcpt_tpu")
+    dcpt_stub = types.ModuleType("dcpt_tpu.archs")
+    dcpt_stub.build_network = lambda *a, **k: None
+    ops_stub = types.ModuleType("dcpt_tpu.ops")
+    ops_stub.enable_pallas = lambda *a, **k: None
+    pkg_stub.archs, pkg_stub.ops = dcpt_stub, ops_stub
+    monkeypatch.setitem(_sys.modules, "dcpt_tpu", pkg_stub)
+    monkeypatch.setitem(_sys.modules, "dcpt_tpu.archs", dcpt_stub)
+    monkeypatch.setitem(_sys.modules, "dcpt_tpu.ops", ops_stub)
+
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1 and len(out[0].encode()) <= bench.MAX_LINE_BYTES
+    d = json.loads(out[0])
+    full = json.loads((tmp_path / "bench_full.json").read_text())
+    skipped = [k for k in full["extra"] if k.endswith("_skipped")]
+    assert len(skipped) == 8, skipped  # every section gated out
+    assert d["extra"]["skipped"] == 8
+    # a fully-skipped run reports the cached/zero fallback, never a fake number
+    assert d.get("cached") or d["value"] == 0.0
