@@ -376,7 +376,14 @@ def main() -> None:
                 # kernel compile OOM) must not zero the whole artifact; the
                 # surviving mode still publishes and the failure is recorded
                 extra[f"ab_error_{type(net).__name__}_{size}px_bs{bs}_{jnp.dtype(dtype).name}_{mode}"] = str(e)[:200]
-        enable_pallas("off")
+        # Restore the SHIPPED default, not "off": leaving the global mode off
+        # leaked into every later train-step section (round-4/5 root cause of
+        # the "HTTP 500" swinir_train failures — with winners disabled the
+        # arch falls back to the per-op path, the Swin analytic backward never
+        # routes, and the mixed twin autodiff graph of 4 scanned steps
+        # deterministically OOMs HBM: 30.75G vs 15.75G, tpu_compile_helper
+        # exit 1).  Train sections must measure the defaults users get.
+        enable_pallas("auto")
         if not fns:
             return {mode: 0.0 for mode in modes}
         best = {mode: float("inf") for mode in fns}
@@ -641,6 +648,12 @@ def bench_train_step(rng, cpu, accel, gt=128, bs=16, iters=8) -> dict:
     import jax.numpy as jnp
 
     from dcpt_tpu.models import build_model
+    from dcpt_tpu.ops import enable_pallas
+
+    # Train steps measure the SHIPPED defaults (auto: winner forward kernels
+    # + the analytic Pallas backwards route on TPU) — an inference A/B leg
+    # leaving the global mode "off" must not leak in here (round-4/5 bug).
+    enable_pallas("auto")
 
     results: dict[str, float] = {}
     lq_np = rng.random((bs, gt, gt, 3), dtype=np.float32)
@@ -779,6 +792,9 @@ def bench_restormer_train_step(rng, cpu, accel, gt=128, bs=8, iters=8) -> dict:
     import jax.numpy as jnp
 
     from dcpt_tpu.models import build_model
+    from dcpt_tpu.ops import enable_pallas
+
+    enable_pallas("auto")  # measure the shipped defaults (see bench_train_step)
 
     opt = {
         "name": "bench_restormer_train", "model_type": "DCPTModel", "scale": 1,
@@ -836,6 +852,9 @@ def bench_swinir_train_step(rng, cpu, accel, gt=128, bs=8, iters=4) -> dict:
     import jax.numpy as jnp
 
     from dcpt_tpu.models import build_model
+    from dcpt_tpu.ops import enable_pallas
+
+    enable_pallas("auto")  # measure the shipped defaults (see bench_train_step)
 
     opt = {
         "name": "bench_swinir_train", "model_type": "DCPTModel", "scale": 1,
@@ -876,10 +895,12 @@ def bench_swinir_train_step(rng, cpu, accel, gt=128, bs=8, iters=4) -> dict:
 
     # Program kept BYTE-IDENTICAL to scripts/bench_swin_bwd.py's (losses in
     # the scan, donate state, static n) so it rides the A/B's persistent
-    # compile-cache entry — the remote compile-helper 500s intermittently on
-    # programs this size (it reproducibly rejects the fp32 TWIN graph, and
-    # one bench run 500'd even the analytic one), so not recompiling at all
-    # is the robust path.
+    # compile-cache entry.  NOTE: every previous bench-run "HTTP 500" here
+    # was NOT flakiness — an inference A/B leg had leaked the global pallas
+    # mode "off", so this section traced the per-op twin graph, whose 4
+    # scanned mixed steps deterministically OOM compile-time HBM (30.75G vs
+    # 15.75G).  With the shipped auto routing (analytic SwinBlock backward)
+    # the program compiles and runs — see enable_pallas("auto") above.
     import functools
 
     @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(6,))

@@ -1,5 +1,6 @@
 """Eval-surface A/B: whole-image XLA vs 128px-tile inference with the MDTA
-whole-block kernel firing (VERDICT r3 item 2).
+whole-block kernel firing (VERDICT r3 item 2; REDONE round 5 per VERDICT r4
+item 6 with the dispatch-amortized methodology).
 
 The round-3 2.0×/1.6× Restormer/PromptIR kernel win lives at 128px-class
 geometries, but the shipped 5D eval runs whole images (e.g. padded Rain100L
@@ -7,19 +8,24 @@ geometries, but the shipped 5D eval runs whole images (e.g. padded Rain100L
 script measures, on the real TPU at the real eval geometry:
 
   * whole-image XLA (the current shipped path),
-  * ``test_tile`` (infer_size=128, tile_pad=16 — all tile dims stay multiples
-    of 8 so the kernel's row-tile gate fires) with the kernel ON and OFF,
+  * the device-resident tiler (infer_size=128, tile_pad=16 — all tile dims
+    stay multiples of 8 so the kernel's row-tile gate fires) with the kernel
+    ON and OFF,
 
-wall-clock (chained-dependency timing; tunnel rules) AND the numeric cost of
-tiling: PSNR / max|Δ| of the tiled output vs the whole-image output of the
-SAME network.  NOTE the numeric proxy limitation: no trained 5D checkpoint is
-available in this environment, so the tiling error is measured at seeded
-random init — Restormer/PromptIR attention statistics are image-global, and
-the tiled approximation error at trained weights may differ; recorded as such
-in PARITY.md.
+with ``--iters`` chained applications SCANNED INSIDE ONE JIT DISPATCH per
+leg (the bench.py train-section methodology): the round-4 measurement ran
+one Python dispatch per forward and the degraded tunnel's 0.5–12 s
+per-dispatch overhead made *whole-image* eval measure 0.013 MPix/s — 110×
+below the same leg's round-3 number — so the 3.3× "tiling loses" was pure
+dispatch pathology (VERDICT r4 weak #6).  Legs are timed interleaved and the
+per-leg MIN is kept (tunnel variance rules).
 
-Usage: python scripts/bench_tile_eval.py [--iters 6]
-Prints one JSON line per (arch, dtype) plus a summary verdict line.
+Numerics: PSNR / max|Δ| of the tiled output vs the whole-image output of the
+SAME network, at seeded random init (no trained 5D checkpoint in this
+environment; recorded as such in PARITY.md).
+
+Usage: python scripts/bench_tile_eval.py [--iters 8] [--reps 2]
+Prints one JSON line per arch plus a summary line.
 """
 
 from __future__ import annotations
@@ -75,34 +81,46 @@ def build(arch_opt, accel, cpu):
     return model
 
 
-def timed(model, x, mode, tiled, iters):
-    """Chained-dependency timing of the shipped eval path under a pallas mode.
-
-    The tile jit cache key ignores the pallas mode, so caches are cleared
-    per mode; outputs feed the next iteration and a host materialization
-    closes the chain (tunnel timing rules)."""
+def build_leg(model, x, mode, tiled, iters):
+    """Trace the per-image program UNDER ``mode``, then wrap ``iters`` chained
+    applications in one scanned jit program (dispatch amortization).  Returns
+    (scanned_fn_with_args_bound, single_apply_output)."""
+    import jax
     import jax.numpy as jnp
 
     from dcpt_tpu.ops import enable_pallas
 
-    model._apply_cache.clear()
+    model._apply_cache.clear()  # pallas mode is baked at trace time
     enable_pallas(mode)
     try:
         model.lq = jnp.asarray(x)
-        run = model.test_tile if tiled else model.test
-        run()
-        np.asarray(model.output[0, 0, 0, 0])  # compile + warm
+        if tiled:
+            model.test_tile()
+            inner = next(f for k, f in model._apply_cache.items()
+                         if isinstance(k, tuple) and k[0] == "tile")
+        else:
+            model.test()
+            inner = model._apply_cache["fwd"]
+        params = model._infer_params()
         out0 = np.asarray(model.output)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            # clip keeps the chained inputs bounded through a random-init net
-            model.lq = jnp.clip(model.output, 0, 1).astype(jnp.float32)
-            run()
-        np.asarray(model.output[0, 0, 0, 0])
-        dt = (time.perf_counter() - t0) / iters
+
+        @jax.jit
+        def loop(p, x0):
+            def body(y, _):
+                # clip keeps the chained inputs bounded through a random-init net
+                return jnp.clip(inner(p, y), 0, 1).astype(jnp.float32), None
+            y, _ = jax.lax.scan(body, x0, None, length=iters)
+            return y
+
+        x_dev = model.lq
+
+        def run():
+            np.asarray(loop(params, x_dev)[0, 0, 0, 0])
+
+        run()  # compile + warm the scanned program itself
     finally:
-        enable_pallas("off")
-    return dt, out0
+        enable_pallas("auto")
+    return run, out0
 
 
 def psnr(a, b):
@@ -112,7 +130,8 @@ def psnr(a, b):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=2)
     args = ap.parse_args()
 
     import jax
@@ -130,20 +149,24 @@ def main():
     results = {}
     for name, arch in (("restormer", RESTORMER), ("promptir", PROMPTIR)):
         model = build(arch, accel, cpu)
-        row = {}
-        print(f"# {name}: whole-image XLA", file=sys.stderr, flush=True)
-        dt, out_whole = timed(model, x, "off", tiled=False, iters=args.iters)
-        row["whole_xla_mpix_s"] = round(mpix / dt, 3)
-        print(f"# {name}: tile XLA", file=sys.stderr, flush=True)
-        dt, out_tile_xla = timed(model, x, "off", tiled=True, iters=args.iters)
-        row["tile_xla_mpix_s"] = round(mpix / dt, 3)
-        print(f"# {name}: tile kernel", file=sys.stderr, flush=True)
-        dt, out_tile_k = timed(model, x, "auto", tiled=True, iters=args.iters)
-        row["tile_kernel_mpix_s"] = round(mpix / dt, 3)
+        legs, outs = {}, {}
+        for leg, (mode, tiled) in (("whole_xla", ("off", False)),
+                                   ("tile_xla", ("off", True)),
+                                   ("tile_kernel", ("auto", True))):
+            print(f"# {name}: building {leg}", file=sys.stderr, flush=True)
+            legs[leg], outs[leg] = build_leg(model, x, mode, tiled, args.iters)
 
-        row["tile_vs_whole_psnr_db"] = round(psnr(out_tile_xla, out_whole), 2)
-        row["tile_vs_whole_maxabs"] = float(np.max(np.abs(out_tile_xla - out_whole)))
-        row["kernel_vs_xla_tile_maxabs"] = float(np.max(np.abs(out_tile_k - out_tile_xla)))
+        best = {leg: float("inf") for leg in legs}
+        for _ in range(args.reps):
+            for leg, run in legs.items():  # interleaved min across reps
+                t0 = time.perf_counter()
+                run()
+                best[leg] = min(best[leg], (time.perf_counter() - t0) / args.iters)
+
+        row = {f"{leg}_mpix_s": round(mpix / dt, 3) for leg, dt in best.items()}
+        row["tile_vs_whole_psnr_db"] = round(psnr(outs["tile_xla"], outs["whole_xla"]), 2)
+        row["tile_vs_whole_maxabs"] = float(np.max(np.abs(outs["tile_xla"] - outs["whole_xla"])))
+        row["kernel_vs_xla_tile_maxabs"] = float(np.max(np.abs(outs["tile_kernel"] - outs["tile_xla"])))
         row["tile_kernel_vs_whole_xla_speedup"] = round(
             row["tile_kernel_mpix_s"] / row["whole_xla_mpix_s"], 3)
         results[name] = row

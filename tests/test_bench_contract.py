@@ -209,6 +209,37 @@ def test_error_runs_never_become_last_good(bench, tmp_path, monkeypatch):
         "committed bench_last_good.json violates the fully-clean invariant"
 
 
+def test_train_sections_measure_shipped_defaults(bench, monkeypatch):
+    """Round-5 root cause of every swinir_train "HTTP 500": an inference A/B
+    leg left the global pallas mode "off", so the train sections traced the
+    per-op twin graph — whose 4 scanned mixed SwinIR steps deterministically
+    OOM compile-time HBM (30.75G vs 15.75G).  Every train-step bench fn must
+    force mode "auto" (the shipped default: winner forward kernels + analytic
+    Pallas backwards) before any tracing happens."""
+    import numpy as np
+
+    import dcpt_tpu.models as models
+    import dcpt_tpu.ops as ops
+
+    class _Stop(Exception):
+        pass
+
+    def boom(opt):
+        raise _Stop()
+
+    monkeypatch.setattr(models, "build_model", boom)
+    import jax
+
+    cpu = jax.devices("cpu")[0]
+    for fn in (bench.bench_train_step, bench.bench_restormer_train_step,
+               bench.bench_swinir_train_step):
+        ops.enable_pallas("off")  # simulate the leaked kill-switch
+        with pytest.raises(_Stop):
+            fn(np.random.default_rng(0), cpu, None)
+        assert ops.pallas_mode() == "auto", fn.__name__
+    ops.enable_pallas("auto")
+
+
 def test_budget_skip_markers_reach_the_compact_line(bench, capsys, monkeypatch, tmp_path):
     """A budget-degraded run must say so in the one printed line (skipped
     count) while staying under the cap."""

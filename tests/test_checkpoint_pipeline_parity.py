@@ -11,6 +11,10 @@ forward.  This is the closest achievable proxy to public-checkpoint parity in
 an env without the released weights (PARITY.md).
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full pipeline vs torch checkpoints, 4 archs
+
 import os
 
 import cv2

@@ -5,6 +5,10 @@ train on synthetic Gaussian-noise pairs and require a PSNR gain over the
 identity baseline on held-out data.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # trains networks to quality thresholds
+
 import numpy as np
 import pytest
 
@@ -118,3 +122,97 @@ class TestDCPTConvergence:
         logits = model.classify(model.params_dc)
         acc = float(accuracy_topk(logits, jnp.asarray(idx))[0])
         assert acc >= 85.0, f"DCPT classifier accuracy only {acc:.1f}%"
+
+    def test_dcpt_converges_with_analytic_backward_defaults(self, tmp_path, rng, monkeypatch):
+        """VERDICT r4 item 7: the shipped analytic-backward defaults change
+        mixed-precision training numerics vs the twin path (the kernels keep
+        fp32 internals — PARITY "bf16 gradient correctness", the 2.59-vs-1.91
+        l_classify divergence).  Same tiny-DCPT bar as above, but with the
+        NAF analytic Pallas backward FORCED into the differentiated graph
+        (``DCPT_TPU_NAF_BWD=1``; fused forward + analytic backward kernels in
+        interpret mode on CPU) in mixed precision.  A defaults regression —
+        e.g. a tile-picker change silently flipping routes, or an analytic
+        cotangent bug that per-block parity tolerances let through — now
+        fails an end-to-end convergence bar, not just block-level checks.
+        (MDTA/Swin analytic routes are pinned by their cotangent-parity and
+        jaxpr-delegation tests; this bar covers the flagship NAF train path.)
+        """
+        import jax as _jax
+
+        import dcpt_tpu.ops.naf_block as nb
+        import dcpt_tpu.ops.naf_block_bwd as nbb
+        from dcpt_tpu.archs import nafnet_arch
+        from dcpt_tpu.models import build_model
+        from dcpt_tpu.models.dc_util import accuracy_topk
+        from dcpt_tpu.ops import enable_pallas
+
+        monkeypatch.setenv("DCPT_TPU_NAF_BWD", "1")  # force analytic in bf16 too
+        # interpret mode so the Pallas kernels execute on CPU
+        orig_v1 = nb._block_pallas_v1
+        monkeypatch.setattr(nb, "_block_pallas_v1",
+                            lambda *a, **k: orig_v1(*a[:-1], True, **k))
+        orig_p = nb._block_pallas
+        monkeypatch.setattr(nb, "_block_pallas", lambda *a: orig_p(*a[:-1], True))
+        orig_bwd = nbb.naf_block_bwd
+        monkeypatch.setattr(nbb, "naf_block_bwd", lambda *a: orig_bwd(*a[:-1], True))
+        # arch gates: whole-block kernel on for every stage in both dtypes
+        monkeypatch.setattr(nafnet_arch, "_NAF_BLOCK_KERNEL", True)
+        monkeypatch.setattr(nafnet_arch, "_NAF_BLOCK_MAXC", 4096)
+        monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+
+        opt = {
+            "name": "dcpt_conv_analytic", "model_type": "DCPTModel", "scale": 1, "num_gpu": 1,
+            "manual_seed": 0, "is_train": True, "dist": False, "rank": 0, "world_size": 1,
+            "hook_names": "ups",
+            "network_g": {"type": "NAFNetBaseline", "width": 8, "enc_blk_nums": (1, 1), "middle_blk_num": 1, "dec_blk_nums": (1, 1), "h": 16},
+            "network_dc": {"type": "PromptIR_NoImg_DC", "feature_dims": (8, 16), "num_res_blocks": 1, "num_classes": 2},
+            "path": {"models": str(tmp_path), "training_states": str(tmp_path), "visualization": str(tmp_path), "log": str(tmp_path)},
+            "train": {
+                "optim_g": {"type": "Adam", "lr": 1e-3},
+                "optim_dc": {"type": "Adam", "lr": 2e-3},
+                "scheduler": {"type": "CosineAnnealingRestartLR", "periods": [100], "restart_weights": [1]},
+                "pixel_opt": {"type": "L1Loss"},
+                "classify_opt": {"type": "CrossEntropyLoss"},
+                "mixed_precision": True,
+                "total_iter": 100,
+            },
+            "val": {"metrics": {"psnr": {"type": "calculate_psnr", "crop_border": 0, "image_range": 255.0}}},
+        }
+        enable_pallas("auto")
+        try:
+            model = build_model(opt)
+
+            def make_batch(seed, b=8):
+                r = np.random.default_rng(seed)
+                gt = r.random((b, 16, 16, 3)).astype(np.float32) * 0.5 + 0.25
+                idx = r.integers(0, 2, b)
+                noise = r.normal(0, 50 / 255, gt.shape).astype(np.float32)
+                lq = np.where(idx[:, None, None, None] == 0, np.clip(gt + noise, 0, 1), gt * 0.3)
+                return lq.astype(np.float32), gt, idx
+
+            # the analytic route must actually be live in the grad graph —
+            # guard against a silent twin delegation making this bar vacuous
+            from dcpt_tpu.ops.naf_block_bwd import pick_bwd_tile
+            assert pick_bwd_tile(16, 16, 8) is not None
+            lq0, gt0, idx0 = make_batch(0)
+            jaxpr = str(_jax.make_jaxpr(
+                lambda pg, pdc: model._train_step(
+                    pg, pdc, model.opt_state_g, model.opt_state_dc,
+                    jnp.asarray(lq0), jnp.asarray(gt0), jnp.asarray(idx0),
+                    jnp.float32(1e-3), jnp.float32(2e-3))
+            )(model.params_g, model.params_dc))
+            assert "pallas_call" in jaxpr, "analytic backward not routed — bar would test the twin"
+
+            for it in range(1, 81):
+                lq, gt, idx = make_batch(it)
+                model.update_learning_rate(it)
+                model.feed_data({"lq": lq, "gt": gt, "dataset_idx": idx})
+                model.optimize_parameters(it)
+
+            lq, gt, idx = make_batch(9999, b=16)
+            model.feed_data({"lq": lq, "gt": gt, "dataset_idx": idx})
+            logits = model.classify(model.params_dc)
+            acc = float(accuracy_topk(logits, jnp.asarray(idx))[0])
+        finally:
+            enable_pallas("auto")
+        assert acc >= 85.0, f"DCPT classifier accuracy only {acc:.1f}% with analytic backwards"

@@ -8,6 +8,10 @@ covering, reference data_sampler.py:30-43), cross-process
 psum of a sharded array, and rank-0-only I/O via ``master_only``.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # true 2-process jax.distributed group
+
 import os
 import socket
 import subprocess

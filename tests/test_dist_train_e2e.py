@@ -15,6 +15,10 @@ was never shipped (its train script is commented out); this proves ours
 multi-process end-to-end.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # 2-process train_pipeline e2e (+auto_resume restart)
+
 import os
 import socket
 import subprocess

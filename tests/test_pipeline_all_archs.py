@@ -1,5 +1,9 @@
 """test_pipeline smoke across all restoration arch families (tiny dims)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # yml test_pipeline across all arch families
+
 import os
 
 import cv2

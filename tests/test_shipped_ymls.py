@@ -6,6 +6,10 @@ reference's own override mechanism — no yml editing). Covers the 10D protocol
 its dataset types) and its per-arch networks by test_checkpoint_pipeline_parity.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # verbatim shipped-yml pipelines end-to-end
+
 import os
 
 import cv2
