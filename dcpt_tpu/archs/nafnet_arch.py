@@ -235,7 +235,8 @@ class NAFNetBaseline(nn.Module):
         )
 
     @nn.compact
-    def __call__(self, inp: jax.Array, skip_tail: bool = False, deterministic: bool = True):
+    def __call__(self, inp: jax.Array, skip_tail: bool = False, deterministic: bool = True,
+                 tail_count: int | None = None):
         """Returns ``(out, taps)``; ``out`` is None when ``skip_tail`` (the
         reference's ``hook=True`` feature-only pass, nafnet_arch.py:250-274).
 
@@ -243,6 +244,14 @@ class NAFNetBaseline(nn.Module):
         ``name.count('.') == 1`` — the set the DCPT hook filter selects from
         (``…pretrain_model.py:64-68``): ``encoders.{i}``, ``downs.{i}``,
         ``middle_blks.{j}``, ``ups.{i}``, ``decoder{i}.{j}``.
+
+        ``tail_count``: batched-trunk DCPT mode (VERDICT r4 #4) — the trunk
+        runs on a concatenated ``[pixel-input; lq]`` 2B batch and the tail
+        (``ending`` conv + input residual) applies to the first ``tail_count``
+        samples only; ``taps`` keep the FULL batch so the caller slices the
+        lq half.  Every block is batch-parallel (LayerNorm2d and SCA
+        statistics are per-sample), so this is numerically exact vs two
+        separate passes.
         """
         cfg = self._block_cfg()
         taps: dict[str, jax.Array] = {}
@@ -280,6 +289,9 @@ class NAFNetBaseline(nn.Module):
         if skip_tail:
             return None, taps
 
+        if tail_count is not None:
+            x = x[:tail_count]
+            inp = inp[:tail_count]
         x = conv2d(self.img_channel, 3, name="ending", in_features=self.width)(x)
         x = x + inp
         return x, taps

@@ -65,6 +65,17 @@ class DCPTModel(DCModel):
         # mixed precision (TPU-native, same recipe as SRModel): bf16 compute
         # with fp32 master params; losses and optimizer updates stay fp32
         mixed = (self.opt.get("train") or {}).get("mixed_precision", False)
+        # batched trunk (VERDICT r4 #4): the step's two net_g passes (pixel
+        # forward on the clean gt, …pretrain_model.py:140; skip-tail taps
+        # forward on the degraded lq, :154) share weights and are
+        # batch-parallel, so one concatenated 2B trunk call — tail on the gt
+        # half, taps from the lq half — is numerically exact and doubles MXU
+        # occupancy at the under-tiled deep stages (the round-4 profile's
+        # 50.7-TFLOPS grad ceiling).  Requires the arch to accept
+        # ``tail_count`` (NAFNet family); parity-pinned in test_dc_models.
+        # A/B: scripts/bench_dcpt_batched_trunk.py; ships per measured-winner
+        # policy via ``train.batched_trunk``.
+        batched = (self.opt.get("train") or {}).get("batched_trunk", False)
 
         @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
         def step(params_g, params_dc, opt_g, opt_dc, lq, gt, dataset_idx, lr_g, lr_dc):
@@ -77,13 +88,25 @@ class DCPTModel(DCModel):
                     lq_c, gt_c = lq, gt
                 losses = {}
                 total = 0.0
-                if cri_pixel is not None:
-                    pix_in = gt_c if pixel_input == "gt" else lq_c
-                    pix_output, _ = net_g.apply({"params": pg}, pix_in)
+                pix_in = gt_c if pixel_input == "gt" else lq_c
+                pix_output = None
+                if batched and cri_pixel is not None and pixel_input == "lq":
+                    # DCT: pixel and tap passes share the SAME input and
+                    # weights — one full forward yields both exactly
+                    pix_output, taps = net_g.apply({"params": pg}, lq_c)
+                elif batched and cri_pixel is not None:
+                    b = lq.shape[0]
+                    x2 = jnp.concatenate([pix_in, lq_c], axis=0)
+                    pix_output, taps2 = net_g.apply({"params": pg}, x2, tail_count=b)
+                    taps = jax.tree_util.tree_map(lambda t: t[b:], taps2)
+                else:
+                    if cri_pixel is not None:
+                        pix_output, _ = net_g.apply({"params": pg}, pix_in)
+                    _, taps = net_g.apply({"params": pg}, lq_c, skip_tail=True)
+                if pix_output is not None:
                     l_pix = cri_pixel(pix_output.astype(jnp.float32), gt)
                     total += l_pix
                     losses["l_pix"] = l_pix
-                _, taps = net_g.apply({"params": pg}, lq_c, skip_tail=True)
                 feats = select_taps(taps, hook_names)[::-1]
                 logits = net_dc.apply({"params": pdc}, lq_c, feats)
                 l_classify = cri_classify(logits.astype(jnp.float32), dataset_idx)
