@@ -53,6 +53,23 @@ class BaseModel:
 
         return shard_batch(array, self.mesh)
 
+    def maybe_zero_shard(self, opt_state):
+        """ZeRO-1 optimizer-state sharding (``train.zero_sharding``, default
+        off — `parallel/zero.py`; the reference replicates Adam moments on
+        every DDP rank, base_model.py:100-118).  Returns ``(opt_state,
+        specs-or-None)``; the model's jitted step must pin the layout with
+        ``parallel.zero.constrain(new_opt_state, specs)`` and resume paths
+        must re-place restored host arrays with ``device_put`` on the specs.
+        """
+        train_opt = self.opt.get("train") or {}
+        if not train_opt.get("zero_sharding"):
+            return opt_state, None
+        from ..parallel.zero import MIN_SHARD_BYTES, shard_opt_state
+
+        return shard_opt_state(
+            opt_state, self.mesh,
+            min_bytes=train_opt.get("zero_min_bytes", MIN_SHARD_BYTES))
+
     # ------------------------------------------------------------------
     # Optimizers / schedulers
     # ------------------------------------------------------------------

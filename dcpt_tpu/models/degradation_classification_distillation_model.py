@@ -112,6 +112,10 @@ class DCDistModel(SRModel):
         cri_pixel, cri_classify = self.cri_pix, self.cri_classify
         tx = self.optimizer_g
         ema_decay = self.ema_decay
+        zero_specs = self._zero_specs_g
+        zero_mesh = self.mesh if zero_specs is not None else None
+        from ..parallel.zero import constrain as zero_constrain
+        from ..parallel.zero import constrain_replicated as zero_repl
         select = self._select
         # bf16 compute / fp32 masters, fp32 losses+update (SRModel's recipe)
         mixed = (self.opt.get("train") or {}).get("mixed_precision", False)
@@ -143,7 +147,8 @@ class DCDistModel(SRModel):
 
             (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params_g)
             updates, new_opt_state = tx.update(grads, opt_state, params_g)
-            new_params = optax.apply_updates(params_g, jax.tree_util.tree_map(lambda u: -lr * u, updates))
+            new_opt_state = zero_constrain(new_opt_state, zero_specs)
+            new_params = zero_repl(optax.apply_updates(params_g, jax.tree_util.tree_map(lambda u: -lr * u, updates)), zero_mesh)
             new_ema = (
                 jax.tree_util.tree_map(lambda e, p: e * ema_decay + p * (1 - ema_decay), ema, new_params)
                 if ema is not None

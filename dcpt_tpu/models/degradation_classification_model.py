@@ -93,6 +93,7 @@ class DCModel(BaseModel):
         self._optimizer_base_lrs = [("optim_dc", optim_opt["lr"])]
         self.optimizer_dc = self.get_optimizer(optim_type, **optim_opt)
         self.opt_state_dc = self.optimizer_dc.init(self.params_dc)
+        self.opt_state_dc, self._zero_specs_dc = self.maybe_zero_shard(self.opt_state_dc)
         self.optimizers = [("optim_dc", self.optimizer_dc)]
 
     # -- steps ------------------------------------------------------------
@@ -103,6 +104,10 @@ class DCModel(BaseModel):
         hook_names = self.hook_names
         tx = self.optimizer_dc
         ema_decay = self.ema_decay
+        zero_specs = self._zero_specs_dc
+        zero_mesh = self.mesh if zero_specs is not None else None
+        from ..parallel.zero import constrain as zero_constrain
+        from ..parallel.zero import constrain_replicated as zero_repl
         # bf16 compute / fp32 masters, fp32 losses+update (SRModel's recipe)
         mixed = (self.opt.get("train") or {}).get("mixed_precision", False)
 
@@ -124,8 +129,9 @@ class DCModel(BaseModel):
 
             (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params_dc)
             updates, new_opt_state = tx.update(grads, opt_state, params_dc)
+            new_opt_state = zero_constrain(new_opt_state, zero_specs)
             updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
-            new_params = optax.apply_updates(params_dc, updates)
+            new_params = zero_repl(optax.apply_updates(params_dc, updates), zero_mesh)
             new_ema = (
                 jax.tree_util.tree_map(lambda e, p: e * ema_decay + p * (1 - ema_decay), ema, new_params)
                 if ema is not None
@@ -234,3 +240,6 @@ class DCModel(BaseModel):
     def resume_training(self, resume_state: dict) -> None:
         if "opt_state_dc" in resume_state:
             self.opt_state_dc = self.unpack_state(self.opt_state_dc, resume_state["opt_state_dc"])
+            if self._zero_specs_dc is not None:
+                self.opt_state_dc = jax.tree_util.tree_map(
+                    jax.device_put, self.opt_state_dc, self._zero_specs_dc)

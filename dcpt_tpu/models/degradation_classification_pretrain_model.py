@@ -54,6 +54,8 @@ class DCPTModel(DCModel):
         self.optimizer_dc = self.get_optimizer(type_dc, **optim_dc)
         self.opt_state_g = self.optimizer_g.init(self.params_g)
         self.opt_state_dc = self.optimizer_dc.init(self.params_dc)
+        self.opt_state_g, self._zero_specs_g = self.maybe_zero_shard(self.opt_state_g)
+        self.opt_state_dc, self._zero_specs_dc = self.maybe_zero_shard(self.opt_state_dc)
         self.optimizers = [("optim_g", self.optimizer_g), ("optim_dc", self.optimizer_dc)]
 
     def _make_train_step(self):
@@ -61,6 +63,10 @@ class DCPTModel(DCModel):
         cri_pixel, cri_classify = self.cri_pixel, self.cri_classify
         hook_names = self.hook_names
         tx_g, tx_dc = self.optimizer_g, self.optimizer_dc
+        zero_specs_g, zero_specs_dc = self._zero_specs_g, self._zero_specs_dc
+        zero_mesh = self.mesh if zero_specs_g is not None or zero_specs_dc is not None else None
+        from ..parallel.zero import constrain as zero_constrain
+        from ..parallel.zero import constrain_replicated as zero_repl
         pixel_input = self._pixel_input
         # mixed precision (TPU-native, same recipe as SRModel): bf16 compute
         # with fp32 master params; losses and optimizer updates stay fp32
@@ -118,8 +124,10 @@ class DCPTModel(DCModel):
             g_g, g_dc = grads
             up_g, new_opt_g = tx_g.update(g_g, opt_g, params_g)
             up_dc, new_opt_dc = tx_dc.update(g_dc, opt_dc, params_dc)
-            new_pg = optax.apply_updates(params_g, jax.tree_util.tree_map(lambda u: -lr_g * u, up_g))
-            new_pdc = optax.apply_updates(params_dc, jax.tree_util.tree_map(lambda u: -lr_dc * u, up_dc))
+            new_opt_g = zero_constrain(new_opt_g, zero_specs_g)
+            new_opt_dc = zero_constrain(new_opt_dc, zero_specs_dc)
+            new_pg = zero_repl(optax.apply_updates(params_g, jax.tree_util.tree_map(lambda u: -lr_g * u, up_g)), zero_mesh)
+            new_pdc = zero_repl(optax.apply_updates(params_dc, jax.tree_util.tree_map(lambda u: -lr_dc * u, up_dc)), zero_mesh)
             return new_pg, new_pdc, new_opt_g, new_opt_dc, losses
 
         return step
@@ -144,9 +152,13 @@ class DCPTModel(DCModel):
         )
 
     def resume_training(self, resume_state: dict) -> None:
-        for name in ("opt_state_g", "opt_state_dc"):
+        for name, specs in (("opt_state_g", self._zero_specs_g),
+                            ("opt_state_dc", self._zero_specs_dc)):
             if name in resume_state:
-                setattr(self, name, self.unpack_state(getattr(self, name), resume_state[name]))
+                state = self.unpack_state(getattr(self, name), resume_state[name])
+                if specs is not None:
+                    state = jax.tree_util.tree_map(jax.device_put, state, specs)
+                setattr(self, name, state)
 
 
 @MODEL_REGISTRY.register()

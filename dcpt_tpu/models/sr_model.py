@@ -143,6 +143,7 @@ class SRModel(BaseModel):
         self._optimizer_base_lrs = [("optim_g", optim_opt["lr"])]
         self.optimizer_g = self.get_optimizer(optim_type, **optim_opt)
         self.opt_state_g = self.optimizer_g.init(self.params_g)
+        self.opt_state_g, self._zero_specs_g = self.maybe_zero_shard(self.opt_state_g)
         self.optimizers = [("optim_g", self.optimizer_g)]
 
     def _make_train_step(self):
@@ -151,6 +152,10 @@ class SRModel(BaseModel):
         ldl_std = (self.opt.get("train") or {}).get("ldl_std", False)
         tx = self.optimizer_g
         ema_decay = self.ema_decay
+        zero_specs = self._zero_specs_g
+        zero_mesh = self.mesh if zero_specs is not None else None
+        from ..parallel.zero import constrain as zero_constrain
+        from ..parallel.zero import constrain_replicated as zero_repl
         # mixed precision (TPU-native): bf16 compute with fp32 master params;
         # losses and the optimizer update stay fp32
         mixed = (self.opt.get("train") or {}).get("mixed_precision", False)
@@ -181,8 +186,12 @@ class SRModel(BaseModel):
 
             (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, new_opt_state = tx.update(grads, opt_state, params)
+            # ZeRO-1: pin the moments to their shards so the donated output
+            # keeps the layout (each device updates its slice; XLA all-gathers
+            # only the fresh params)
+            new_opt_state = zero_constrain(new_opt_state, zero_specs)
             updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
-            new_params = optax.apply_updates(params, updates)
+            new_params = zero_repl(optax.apply_updates(params, updates), zero_mesh)
             new_ema = (
                 jax.tree_util.tree_map(lambda e, p: e * ema_decay + p * (1 - ema_decay), ema, new_params)
                 if ema is not None
@@ -697,3 +706,7 @@ class SRModel(BaseModel):
     def resume_training(self, resume_state: dict) -> None:
         if "opt_state_g" in resume_state:
             self.opt_state_g = self.unpack_state(self.opt_state_g, resume_state["opt_state_g"])
+            if self._zero_specs_g is not None:
+                # unpack lands host arrays — re-place on the ZeRO-1 shards
+                self.opt_state_g = jax.tree_util.tree_map(
+                    jax.device_put, self.opt_state_g, self._zero_specs_g)
