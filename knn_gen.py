@@ -84,10 +84,26 @@ def main() -> None:
     params = net.init(rng, jnp.zeros((1, 128, 128, 3)))["params"]
     params = kaiming_uniform_a2_init(params, jax.random.PRNGKey(1))
 
+    # Tap EXECUTION order, captured at trace time: a taps dict returned
+    # through a jit boundary is re-sorted alphabetically by key (jax
+    # dict-pytree semantics), which would scramble "first N levels" for any
+    # arch whose module names don't sort in forward order (PromptIR's
+    # decoder_level2.* sorts before every encoder tap).  The reference dumps
+    # hook outputs in forward order (knn_gen.py:56-66), so capture the order
+    # inside the trace and return an order-preserving LIST from the jit.
+    tap_order: list[str] = []
+
+    def _probe(p, x):
+        _, taps = net.apply({"params": p}, x, skip_tail=True)
+        tap_order.extend(taps.keys())
+        return 0.0
+
+    jax.eval_shape(_probe, params, jnp.zeros((1, 128, 128, 3)))
+
     @jax.jit
     def taps_fn(p, x):
         _, taps = net.apply({"params": p}, x, skip_tail=True)
-        return taps
+        return [taps[k] for k in tap_order[: args.levels]]
 
     features: list[list[np.ndarray]] = [[] for _ in range(args.levels)]
     labels: list[int] = []
@@ -101,10 +117,8 @@ def main() -> None:
             img = center_crop(img, 128)
             x = jnp.asarray(img[None].astype(np.float32) / 255.0)
             x = pre_test(x, args.window_size)
-            taps = taps_fn(params, x)
-            keys = list(taps.keys())[: args.levels]
-            for lvl, k in enumerate(keys):
-                f = np.asarray(taps[k])
+            for lvl, tap in enumerate(taps_fn(params, x)):
+                f = np.asarray(tap)
                 assert np.isnan(f).sum() == 0
                 features[lvl].append(f.reshape(1, -1))
             labels.append(label_id)

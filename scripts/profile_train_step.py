@@ -53,19 +53,63 @@ def flops_of(jitted, *args):
         return 0.0
 
 
+# Per-arch DCPT configs — identical to the shipped train ymls / bench.py
+# sections so the component numbers decompose the SAME steps the bench
+# measures (bench_train_step / bench_restormer_train_step /
+# bench_swinir_train_step).
+ARCHS = {
+    "nafnet": {
+        "batch": 16,
+        "hook_names": "ups",
+        "network_g": {"type": "NAFNetBaseline", "width": 64, "enc_blk_nums": [1, 1, 1, 28],
+                      "middle_blk_num": 1, "dec_blk_nums": [1, 1, 1, 1], "window_size": 16},
+        "network_dc": {"type": "PromptIR_NoImg_DC", "feature_dims": [64, 128, 256, 512],
+                       "num_res_blocks": 2, "num_classes": 5},
+    },
+    "restormer": {
+        "batch": 8,
+        "hook_names": "decoder_level",
+        "network_g": {"type": "Restormer", "inp_channels": 3, "out_channels": 3, "dim": 48,
+                      "num_blocks": [4, 6, 6, 8], "num_refinement_blocks": 4,
+                      "heads": [1, 2, 4, 8], "ffn_expansion_factor": 2.66,
+                      "bias": False, "LayerNorm_type": "BiasFree", "dual_pixel_task": False},
+        "network_dc": {"type": "PromptIR_NoImg_DC", "feature_dims": [96, 96, 192, 384],
+                       "num_res_blocks": 2, "num_classes": 5, "downsample": False},
+    },
+    "swinir": {
+        "batch": 8,
+        "hook_names": "encode_layers",
+        "network_g": {"type": "SwinIR", "embed_dim": 180, "depths": [6, 6, 6, 6, 6, 6],
+                      "num_heads": [6, 6, 6, 6, 6, 6], "mlp_ratio": 2.0,
+                      "window_size": 8, "upscale": 1},
+        "network_dc": {"type": "PromptIR_NoImg_DC", "feature_dims": [180, 180, 180],
+                       "num_res_blocks": 2, "num_classes": 5, "downsample": True},
+    },
+}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--arch", default="nafnet", choices=sorted(ARCHS))
+    ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--gt-size", type=int, default=128)
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--mixed", action="store_true")
     args = ap.parse_args()
+    arch = ARCHS[args.arch]
+    if args.batch is None:
+        args.batch = arch["batch"]
 
     import jax
     import jax.numpy as jnp
 
     from dcpt_tpu.models import build_model
     from dcpt_tpu.models.dc_util import select_taps
+    from dcpt_tpu.ops import enable_pallas
+
+    # profile the SHIPPED defaults (winner kernels + analytic backwards on
+    # TPU) — same guard as the bench train sections (leaked-kill-switch bug)
+    enable_pallas("auto")
 
     cpu = jax.devices("cpu")[0]
     accel = jax.devices()[0]
@@ -74,11 +118,9 @@ def main() -> None:
     opt = {
         "name": "prof", "model_type": "DCPTModel", "scale": 1, "num_gpu": 1,
         "manual_seed": 0, "is_train": True, "dist": False, "rank": 0, "world_size": 1,
-        "hook_names": "ups", "init_size": gt,
-        "network_g": {"type": "NAFNetBaseline", "width": 64, "enc_blk_nums": [1, 1, 1, 28],
-                      "middle_blk_num": 1, "dec_blk_nums": [1, 1, 1, 1], "window_size": 16},
-        "network_dc": {"type": "PromptIR_NoImg_DC", "feature_dims": [64, 128, 256, 512],
-                       "num_res_blocks": 2, "num_classes": 5},
+        "hook_names": arch["hook_names"], "init_size": gt,
+        "network_g": dict(arch["network_g"]),
+        "network_dc": dict(arch["network_dc"]),
         "path": {},
         "train": {
             "optim_g": {"type": "AdamW", "lr": 1e-4, "weight_decay": 1e-4},
@@ -110,7 +152,7 @@ def main() -> None:
     cast = lambda tree: jax.tree_util.tree_map(lambda a: a.astype(dt), tree)  # noqa: E731
 
     results = {}
-    print(f"DCPT train-step profile bs={bs} @{gt}px {'mixed' if args.mixed else 'fp32'}", flush=True)
+    print(f"DCPT train-step profile [{args.arch}] bs={bs} @{gt}px {'mixed' if args.mixed else 'fp32'}", flush=True)
 
     # NOTE: params must be jit ARGUMENTS, not closure captures — captured
     # arrays become inline constants and blow the axon remote-compile body
@@ -130,14 +172,20 @@ def main() -> None:
     def fwd_hook(p, x):
         _, taps = net_g.apply({"params": cast(p)}, x.astype(dt), skip_tail=True)
         feats = select_taps(taps, hook_names)
-        # chainable output: the last 'ups' tap is full-resolution (H, W, width)
-        return feats[-1][:, :, :, :3].astype(jnp.float32)
+        # chainable x-shaped output that depends on every tap (arch-generic)
+        dep = sum(jnp.mean(f).astype(jnp.float32) for f in feats)
+        return x + dep * 0
 
     results["B_fwd_hook_ms"] = chain_time(lambda x: fwd_hook(pg, x), lq, args.iters, "B net_g skip_tail fwd (lq)")
 
     # --- C: classifier forward (features recomputed once, static) ---
-    _, taps0 = jax.jit(lambda p, x: net_g.apply({"params": p}, x, skip_tail=True))(pg, lq)
-    feats0 = [jax.lax.stop_gradient(f) for f in select_taps(taps0, hook_names)[::-1]]
+    # select INSIDE the jit: a taps dict crossing a jit boundary is re-sorted
+    # alphabetically by key (jax dict-pytree semantics), which scrambles the
+    # execution-order selection for Restormer (decoder_level3 runs first but
+    # sorts last) — a list return preserves order
+    hook_feats = jax.jit(lambda p, x: select_taps(
+        net_g.apply({"params": p}, x, skip_tail=True)[1], hook_names)[::-1])
+    feats0 = [jax.lax.stop_gradient(f) for f in hook_feats(pg, lq)]
 
     @jax.jit
     def fwd_dc(p, feats, x):
@@ -145,7 +193,7 @@ def main() -> None:
         return x + jnp.mean(logits).astype(jnp.float32) * 0
 
     results["C_fwd_dc_ms"] = chain_time(lambda x: fwd_dc(pdc, feats0, x), lq, args.iters, "C net_dc fwd")
-    del feats0, taps0
+    del feats0, hook_feats
 
     # --- F early (before grad buffers exist — HBM headroom) ---
     def full_step(state):
