@@ -110,6 +110,15 @@ class BaseModel:
         grad_clip = self.opt.get("grad_clip", 0) or (self.opt.get("train", {}) or {}).get("grad_clip", 0)
         if grad_clip:
             tx = optax.chain(optax.clip_by_global_norm(float(grad_clip)), tx)
+        # gradient accumulation (beyond reference — the torch DDP loop steps
+        # every iteration): train.accumulate_steps=k averages k micro-batch
+        # grads and applies ONE update every k iterations, so effective batch
+        # = k × batch_size_per_gpu × n_devices with unchanged step memory.
+        # The accumulator lives in the optimizer state → it is donated,
+        # checkpointed by pack_state, and ZeRO-sharded like the moments.
+        acc = int((self.opt.get("train") or {}).get("accumulate_steps", 1) or 1)
+        if acc > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=acc)
         # final scale by -lr happens in the train step via optax.scale
         return tx
 
