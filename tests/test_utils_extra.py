@@ -124,6 +124,12 @@ class TestKnnPipeline:
         feats = np.load(out / "lr_features_3.npy")
         labels = np.load(out / "lr_labels.npy")
         assert feats.shape[0] == 8 and labels.shape == (8,)
+        # levels must be EXECUTION order (reference hook-dump order), not the
+        # alphabetical order a taps dict takes crossing a jit boundary:
+        # level 1 is encoders.0 (32ch @128px); alphabetical would have put
+        # decoder0.0 (128ch @32px) first
+        f1 = np.load(out / "lr_features_1.npy")
+        assert f1.shape[1] == 128 * 128 * 32, f1.shape
 
         from sklearn.neighbors import KNeighborsClassifier
 
