@@ -572,12 +572,17 @@ def main() -> None:
     #   mixed; the fp32 twin graph doesn't even compile — PARITY "Analytic
     #   Pallas SwinBlock backward").  Mixed only, same rationale.
     # ------------------------------------------------------------------
+    # Priority order under the wall-clock budget: the flagship DCPT step,
+    # then swinir_train (guards the 1.82× analytic-backward claim — the
+    # round-4/5 number that must keep landing), then restormer_train (the
+    # lesser 1.12× guard) — on a slow-tunnel day the LAST section is the one
+    # the budget drops (r5: a 3×-slower tunnel fit only two of three).
     run_section("dcpt_train", 300,
                 lambda: extra.update(_retry_transient(bench_train_step, rng, cpu, accel, notes=extra)))
-    run_section("restormer_train", 240,
-                lambda: extra.update(_retry_transient(bench_restormer_train_step, rng, cpu, accel, notes=extra)))
     run_section("swinir_train", 300,
                 lambda: extra.update(_retry_transient(bench_swinir_train_step, rng, cpu, accel, notes=extra)))
+    run_section("restormer_train", 240,
+                lambda: extra.update(_retry_transient(bench_restormer_train_step, rng, cpu, accel, notes=extra)))
 
     if headline == 0.0 and _report_cached(
             "headline section failed this run", partial_extra=extra):
