@@ -116,6 +116,43 @@ gathered_psnr = np.asarray(multihost_utils.process_allgather(
     np.asarray([global_psnr], np.float32)))
 assert np.allclose(gathered_psnr, gathered_psnr.ravel()[0], atol=1e-4), gathered_psnr
 
+# ZeRO-1 under TRUE multi-process: train.zero_sharding shards the Adam
+# moments across BOTH hosts' devices (1/world per process), params stay
+# replicated, and the step runs the real cross-process schedule
+opt_z = {
+    "name": "distzero", "model_type": "SRModel", "scale": 1, "num_gpu": 1,
+    "manual_seed": 0, "is_train": True, "dist": True, "rank": rank,
+    "world_size": world,
+    "network_g": {"type": "NAFNetBaseline", "width": 8, "enc_blk_nums": (1,),
+                  "middle_blk_num": 1, "dec_blk_nums": (1,), "window_size": 4, "h": 8},
+    "init_size": 8, "path": {},
+    "train": {
+        "optim_g": {"type": "AdamW", "lr": 1e-3, "weight_decay": 1e-4},
+        "scheduler": {"type": "CosineAnnealingRestartLR", "periods": [10], "restart_weights": [1]},
+        "pixel_opt": {"type": "L1Loss"},
+        "zero_sharding": True, "zero_min_bytes": 128,
+        "total_iter": 4,
+    },
+    "val": {"metrics": {}},
+}
+model_z = build_model(opt_z)
+rz = np.random.default_rng(9)  # same stream on both ranks
+for it in (1, 2):
+    model_z.update_learning_rate(it)
+    lq = rz.random((2, 8, 8, 3)).astype(np.float32)  # global batch, rank slice
+    glq = multihost_utils.host_local_array_to_global_array(lq[rank:rank + 1], mesh, P("data"))
+    ggt = multihost_utils.host_local_array_to_global_array(
+        (lq * 0.9)[rank:rank + 1].astype(np.float32), mesh, P("data"))
+    model_z.feed_data({"lq": glq, "gt": ggt})
+    model_z.optimize_parameters(it)
+import jax.tree_util as jtu
+z_sharded = [x for x in jtu.tree_leaves(model_z.opt_state_g)
+             if hasattr(x, "sharding") and not x.sharding.is_fully_replicated]
+assert z_sharded, "zero_sharding left every moment replicated under 2-process dist"
+assert all(len(x.sharding.device_set) == 2 for x in z_sharded), "moment not spanning both hosts"
+assert all(p.sharding.is_fully_replicated for p in jtu.tree_leaves(model_z.params_g))
+assert all(np.isfinite(float(v)) for v in model_z.log_dict.values()), model_z.log_dict
+
 # rank-0-only I/O
 @master_only
 def _write():
